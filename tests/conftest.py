@@ -2,7 +2,10 @@ import os
 
 # Tests run on CPU with a virtual 8-device mesh so sharding/pjit paths are
 # exercised without TPU hardware (standard JAX trick, SURVEY.md section 4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session may preset JAX_PLATFORMS=axon (tunneled TPU), which
+# must never be used for unit tests (slow remote dispatch, shared chip).
+# A sitecustomize.py may override the env var, so also set jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,4 +13,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

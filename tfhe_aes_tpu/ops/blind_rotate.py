@@ -1,0 +1,69 @@
+"""Batched blind rotation — the TPU hot loop.
+
+Computes, for a batch of LWE ciphertexts, the classic TFHE accumulator loop
+(acc = X^-b~ * v;  acc = CMux(BSK_i, acc, X^a~_i * acc)) with every step's
+external product expressed as int8 MXU matmuls (ops/ntt.py).  The batch axis
+is the whole design: the reference bootstraps the 128 state bits of an AES
+round one at a time on CPU threads (SURVEY.md 3.2); here they ride one fused
+batch through 669 sequential CMux steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import ParamSet
+from . import decompose, lwe, ntt
+
+U64 = jnp.uint64
+
+
+def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
+                         ggsw_ntt_i32: jnp.ndarray, base_log: int,
+                         levels: int, fwd_limbs, inv_crt_limbs) -> jnp.ndarray:
+    """GGSW (NTT residues) x GLWE-delta (u64) -> GLWE (u64).
+
+    diff_u64: [..., k+1, N]; ggsw_ntt_i32: [P, ..., R, k+1, N] broadcastable
+    against the batch axes; returns [..., k+1, N].
+    """
+    digits = decompose.glwe_digits_flat(diff_u64, base_log, levels)
+    if base_log <= 8:
+        dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
+    else:
+        dhat = ntt.ntt_fwd_wide(plan, digits, fwd_limbs)
+    prod = ntt.pointwise_mac(plan, dhat, ggsw_ntt_i32)
+    return ntt.intt_crt_u64(plan, prod, inv_crt_limbs)
+
+
+def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
+                 lwe_u64: jnp.ndarray, test_glwe_u64: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """lwe_u64: [B, n+1]; test_glwe_u64: [k+1, N] or [B, k+1, N].
+
+    Returns acc [B, k+1, N] u64 encrypting X^(-phase~) * test.
+    """
+    n_poly = params.polynomial_size
+    two_n = 2 * n_poly
+    tilde = lwe.modswitch(lwe_u64, two_n)            # [B, n+1] int32
+    b_t = tilde[:, -1]
+    if test_glwe_u64.ndim == 2:
+        test_glwe_u64 = jnp.broadcast_to(
+            test_glwe_u64[None], (lwe_u64.shape[0],) + test_glwe_u64.shape)
+    acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
+
+    fwd_limbs = jnp.asarray(plan.fwd_limbs)
+    inv_crt_limbs = jnp.asarray(plan.inv_crt_limbs)
+
+    def body(i, acc):
+        a_i = tilde[:, i]                            # [B]
+        rot = lwe.neg_rotate(acc, a_i[:, None])      # [B, k+1, N]
+        diff = rot - acc
+        g = jax.lax.dynamic_index_in_dim(bsk_ntt, i, axis=0, keepdims=False)
+        g = g.astype(jnp.int32)                      # [P, R, k+1, N]
+        delta = external_product_ntt(
+            plan, diff, g[:, None], params.pbs_base_log, params.pbs_level,
+            fwd_limbs, inv_crt_limbs)
+        return acc + delta
+
+    return jax.lax.fori_loop(0, params.lwe_dimension, body, acc0)

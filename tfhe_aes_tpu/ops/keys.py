@@ -1,0 +1,95 @@
+"""Evaluation-key packing: host numpy keys -> TPU-resident operand layouts.
+
+The reference converts its bootstrap key to the Fourier domain once
+(fill_with_forward_fourier, many_wopbs.rs:263) and streams keyswitch keys as
+u64; here every key is staged in the layout its consuming kernel wants:
+
+  * BSK   -> per-prime NTT residues, balanced int16  [n, P, R, k+1, N]
+             (R = (k+1)*pbs_level, component-major — matches
+             ops.decompose.glwe_digits_flat);
+  * KSK   -> signed 8-bit limbs for the int8 keyswitch matmul
+             [big*ks_level, (n+1)*8];
+  * PFPKSK-> signed 8-bit limbs for the packing-keyswitch matmul
+             [(big+1)*pfks_level, (k+1)_u * (k+1)_j * N * 8].
+
+Total device key material at production parameters ~1.2 GB (SURVEY.md 2b) —
+replicated per chip; CTR blocks are the sharded axis (SURVEY.md 2c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import ParamSet
+from ..utils import crt, torus
+from ..backend import numpy_backend as nb
+from . import modular, ntt
+
+
+@dataclasses.dataclass
+class DeviceKeys:
+    params: ParamSet
+    plan: ntt.NttPlan
+    bsk_ntt: np.ndarray       # int16 [n, P, R, k+1, N]
+    ksk_limbs: np.ndarray     # int8  [big*ks_level, (n+1)*8]
+    pfpksk_limbs: np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)*(k+1)*N*8]
+
+
+def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray) -> np.ndarray:
+    """u64 polys [..., N] -> balanced NTT residues int64 [P, ..., N] (host)."""
+    outs = []
+    for p in primes:
+        res = (polys_u64 % np.uint64(p)).astype(np.int64)
+        outs.append(modular.host_balanced(crt.ntt_fwd_host(res, p), p))
+    return np.stack(outs)
+
+
+def pack_bsk(params: ParamSet, plan: ntt.NttPlan,
+             bsk_u64: np.ndarray) -> np.ndarray:
+    """Golden BSK [n, lev, k+1(row u), k+1(col j), N] -> NTT int16 layout."""
+    n_lwe, lev, kp1, _, n = bsk_u64.shape
+    # row-major R = u*lev + l
+    rows = bsk_u64.transpose(0, 2, 1, 3, 4).reshape(n_lwe, kp1 * lev, kp1, n)
+    res = poly_to_ntt_residues_host(plan.primes, rows)  # [P, n, R, k+1, N]
+    out = res.transpose(1, 0, 2, 3, 4).astype(np.int16)
+    return np.ascontiguousarray(out)
+
+
+def pack_ksk(params: ParamSet, ksk_u64: np.ndarray) -> np.ndarray:
+    """Golden KSK [big, lev, n+1] -> int8 limbs [big*lev, (n+1)*8]."""
+    big, lev, np1 = ksk_u64.shape
+    limbs = torus.signed_limbs(ksk_u64, 8)             # [big, lev, n+1, 8]
+    return np.ascontiguousarray(
+        limbs.reshape(big * lev, np1 * 8).astype(np.int8))
+
+
+def pack_pfpksk(params: ParamSet, pfpksk_u64: np.ndarray) -> np.ndarray:
+    """Golden PFPKSK [k+1, big+1, lev, k+1, N] -> int8 limbs.
+
+    Output [ (big+1)*lev, (k+1)_u * (k+1)_j * N * 8 ] so one matmul applies
+    all k+1 functional keyswitches at once (CBS needs all of them per bit).
+    """
+    kp1, bigp1, lev, _, n = pfpksk_u64.shape
+    limbs = torus.signed_limbs(pfpksk_u64, 8)          # [u, t, l, j, N, 8]
+    limbs = limbs.transpose(1, 2, 0, 3, 4, 5)          # [t, l, u, j, N, 8]
+    return np.ascontiguousarray(
+        limbs.reshape(bigp1 * lev, kp1 * kp1 * n * 8).astype(np.int8))
+
+
+def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
+                     primes=None) -> DeviceKeys:
+    """Generate (numpy golden) + pack all evaluation keys for the device."""
+    p = sk.params
+    plan = ntt.make_plan(p.polynomial_size, primes or crt.ntt_primes())
+    bsk = nb.bsk_gen(sk, rng)
+    ksk = nb.ksk_gen(sk, rng)
+    pfp = nb.pfpksk_gen(sk, rng)
+    return DeviceKeys(
+        params=p,
+        plan=plan,
+        bsk_ntt=pack_bsk(p, plan, bsk),
+        ksk_limbs=pack_ksk(p, ksk),
+        pfpksk_limbs=pack_pfpksk(p, pfp),
+    )

@@ -1,0 +1,235 @@
+"""Negacyclic NTT on TPU: exact u64 polynomial products via RNS + int8 matmuls.
+
+Replaces the reference's tfhe-fft f64 FFT (many_wopbs.rs:64,263) with an exact
+residue-number-system transform engineered for the MXU:
+
+  * the transform itself is a matmul by precomputed twiddle matrices, staged
+    as signed 8-bit limbs -> int8 x int8 -> int32 dots (native MXU op);
+  * per-prime reductions are f32-Barrett steps (ops/modular.py);
+  * the inverse transform folds n^-1 and the explicit-CRT premultiplier c_k
+    into the matrices, so CRT reconstruction mod 2^64 needs only u64
+    multiply-adds by per-prime constants.
+
+Matmul NTT is O(N^2) but lives entirely on the 128x128 systolic array with
+N = 512 operands — the right trade on TPU (SURVEY.md section 7, item 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import crt
+from . import modular
+
+I32 = jnp.int32
+
+
+def _host_limb_matrices(primes, n: int, inverse: bool, fold_crt: bool):
+    """Precompute twiddle matrices as int8 limbs.
+
+    Returns int8 array [P, n_scale=2, n_limb=2, N, N]:
+      scale index i corresponds to input limb i (matrix pre-scaled by 2^(8i)),
+      limb index j is the output 8-bit limb of the balanced matrix entries.
+    """
+    cst = crt.crt_constants(tuple(primes))
+    mats = []
+    for k, p in enumerate(primes):
+        fwd, inv = crt.ntt_matrices(p, n)
+        m = inv if inverse else fwd
+        if fold_crt:
+            m = (m * int(cst["c"][k])) % p
+        per_scale = []
+        for i in range(2):
+            scaled = (m * pow(2, 8 * i, p)) % p
+            bal = modular.host_balanced(scaled, p)
+            per_scale.append(modular.host_balanced_limbs2(bal))  # [N,N,2]
+        mats.append(np.stack(per_scale))  # [2, N, N, 2]
+    arr = np.stack(mats)  # [P, 2, N, N, 2]
+    return np.ascontiguousarray(arr.transpose(0, 1, 4, 2, 3))  # [P,2,2,N,N]
+
+
+@dataclasses.dataclass(frozen=True)
+class NttPlan:
+    """Precomputed device constants for one polynomial size."""
+    n: int
+    primes: tuple[int, ...]
+    fwd_limbs: np.ndarray        # int8 [P, 2, 2, N, N]
+    inv_limbs: np.ndarray        # int8 [P, 2, 2, N, N]  (n^-1 folded)
+    inv_crt_limbs: np.ndarray    # int8 [P, 2, 2, N, N]  (n^-1 and c_k folded)
+    p_i32: np.ndarray            # int32 [P]
+    inv_f32: np.ndarray          # float32 [P]
+    mk64: np.ndarray             # uint64 [P]   (M/p_k mod 2^64)
+    m64: np.uint64               # M mod 2^64
+    fp: np.ndarray               # int64 [P]    floor(2^40 / p_k)
+    fp_shift: int
+    pow2_8i: np.ndarray          # int32 [P, 8] balanced (2^(8i) mod p_k)
+
+    @property
+    def n_primes(self) -> int:
+        return len(self.primes)
+
+
+@functools.lru_cache(maxsize=None)
+def make_plan(n: int, primes: tuple[int, ...] | None = None) -> NttPlan:
+    primes = primes or crt.ntt_primes()
+    cst = crt.crt_constants(tuple(primes))
+    pow2 = np.stack([
+        modular.host_balanced([pow(2, 8 * i, p) for i in range(8)], p)
+        for p in primes]).astype(np.int32)
+    return NttPlan(
+        n=n,
+        primes=tuple(primes),
+        fwd_limbs=_host_limb_matrices(primes, n, inverse=False, fold_crt=False),
+        inv_limbs=_host_limb_matrices(primes, n, inverse=True, fold_crt=False),
+        inv_crt_limbs=_host_limb_matrices(primes, n, inverse=True,
+                                          fold_crt=True),
+        p_i32=np.array(primes, dtype=np.int32),
+        inv_f32=(1.0 / np.array(primes, np.float64)).astype(np.float32),
+        mk64=cst["mk64"],
+        m64=cst["m64"],
+        fp=cst["fp"],
+        fp_shift=cst["fp_shift"],
+        pow2_8i=pow2,
+    )
+
+
+def _apply_limb_matrices(x_limbs: list[jnp.ndarray], mats: jnp.ndarray,
+                         k: int, p, inv_p) -> jnp.ndarray:
+    """sum_i x_i @ (2^(8i) * M) for one prime; returns balanced int32 [..,N].
+
+    x_limbs[i]: int8 [..., N]; mats: int8 [P, 2, 2, N, N].
+    Per input limb: |x_i @ M_lo| <= N*128*128 < 2^23 and
+    |x_i @ M_hi|*256 <= N*128*91*256 < 2^30.6 -> int32-safe, one Barrett each.
+    """
+    shape = x_limbs[0].shape
+    acc = None
+    for i, xi in enumerate(x_limbs):
+        x2 = xi.reshape(-1, shape[-1])
+        lo = jax.lax.dot_general(x2, mats[k, i, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=I32)
+        hi = jax.lax.dot_general(x2, mats[k, i, 1],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=I32)
+        term = modular.barrett_reduce(lo + (hi << 8), p, inv_p)
+        acc = term if acc is None else acc + term
+    if len(x_limbs) > 1:
+        acc = modular.barrett_reduce(acc, p, inv_p)
+    return acc.reshape(shape)
+
+
+def ntt_fwd_digits(plan: NttPlan, digits_i8: jnp.ndarray,
+                   fwd_limbs: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT of int8 gadget digits -> balanced int32 [P, ..., N]."""
+    outs = []
+    for k in range(plan.n_primes):
+        outs.append(_apply_limb_matrices([digits_i8], fwd_limbs, k,
+                                         int(plan.p_i32[k]),
+                                         float(plan.inv_f32[k])))
+    return jnp.stack(outs)
+
+
+def split2(x: jnp.ndarray) -> list[jnp.ndarray]:
+    """Balanced int32 (|x| <= ~2^15) -> two int8 limbs [lo, hi]."""
+    hi = (x + 128) >> 8
+    lo = x - (hi << 8)
+    return [lo.astype(jnp.int8), hi.astype(jnp.int8)]
+
+
+def ntt_fwd_wide(plan: NttPlan, vals_i32: jnp.ndarray,
+                 fwd_limbs: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT of balanced values |v| < 2^15 (e.g. 15-bit CBS digits)."""
+    limbs = split2(vals_i32)
+    outs = []
+    for k in range(plan.n_primes):
+        outs.append(_apply_limb_matrices(limbs, fwd_limbs, k,
+                                         int(plan.p_i32[k]),
+                                         float(plan.inv_f32[k])))
+    return jnp.stack(outs)
+
+
+def ntt_fwd_residues(plan: NttPlan, res: jnp.ndarray,
+                     fwd_limbs: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT of per-prime balanced residues [P, ..., N] (|.| <= p/2).
+
+    Used to stage freshly produced GGSW rows (CBS output) in the NTT domain —
+    the analog of the reference's fill_with_forward_fourier
+    (many_wopbs.rs:263).
+    """
+    outs = []
+    for k in range(plan.n_primes):
+        outs.append(_apply_limb_matrices(split2(res[k]), fwd_limbs, k,
+                                         int(plan.p_i32[k]),
+                                         float(plan.inv_f32[k])))
+    return jnp.stack(outs)
+
+
+def pointwise_mac(plan: NttPlan, dhat: jnp.ndarray,
+                  ghat: jnp.ndarray) -> jnp.ndarray:
+    """out[k,...,j,n] = sum_r dhat[k,...,r,n] * ghat[k,...,r,j,n]  (mod p_k).
+
+    dhat relaxed-balanced (|.| <= p); ghat balanced (|.| <= p/2): every
+    product < 2^30.6 -> reduce, then sum <= R*p/2 < 2^20 -> one final Barrett.
+    """
+    outs = []
+    for k in range(plan.n_primes):
+        p = int(plan.p_i32[k]); ip = float(plan.inv_f32[k])
+        t = dhat[k][..., :, None, :] * ghat[k][..., :, :, :]
+        t = modular.barrett_reduce(t, p, ip)
+        s = t.sum(axis=-3, dtype=I32)
+        outs.append(modular.barrett_reduce(s, p, ip))
+    return jnp.stack(outs)
+
+
+def intt_crt_u64(plan: NttPlan, res: jnp.ndarray,
+                 inv_crt_limbs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT + explicit-CRT reconstruction -> uint64 [..., N].
+
+    res: balanced int32 [P, ..., N] (|.| <= p/2).  The inverse matrices have
+    n^-1 and the CRT premultiplier c_k folded in, so per prime the output is
+    z_k = (x * c_k) mod p_k and
+
+        x mod 2^64 = sum_k z_k * (M/p_k)  -  round(sum_k z_k/p_k) * M.
+    """
+    acc = None
+    alpha_fx = None
+    for k in range(plan.n_primes):
+        p = int(plan.p_i32[k]); ip = float(plan.inv_f32[k])
+        z = _apply_limb_matrices(split2(res[k]), inv_crt_limbs, k, p, ip)
+        z = modular.barrett_reduce(z, p, ip)
+        y = jnp.where(z < 0, z + p, z)                    # canonical [0, p)
+        yu = y.astype(jnp.uint64)
+        term = yu * jnp.uint64(plan.mk64[k])
+        afx = y.astype(jnp.int64) * jnp.int64(plan.fp[k])
+        acc = term if acc is None else acc + term
+        alpha_fx = afx if alpha_fx is None else alpha_fx + afx
+    alpha = (alpha_fx + (1 << (plan.fp_shift - 1))) >> plan.fp_shift
+    return acc - alpha.astype(jnp.uint64) * jnp.uint64(plan.m64)
+
+
+def u64_to_residues(plan: NttPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """u64 values -> balanced residues int32 [P, ...] (device-side).
+
+    Via 8 signed 8-bit limbs dotted with (2^(8i) mod p): |sum| <= 8*128*p/2
+    < 2^25 -> one Barrett.
+    """
+    limbs = []
+    carry = jnp.zeros(x.shape, jnp.uint64)
+    for i in range(8):
+        t = ((x >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)) + carry
+        c = (t >= jnp.uint64(128)).astype(jnp.uint64)
+        limbs.append((t.astype(jnp.int64) - (c << jnp.uint64(8)).astype(jnp.int64))
+                     .astype(I32))
+        carry = c
+    lim = jnp.stack(limbs, axis=-1)  # int32 [..., 8]
+    outs = []
+    for k in range(plan.n_primes):
+        p = int(plan.p_i32[k]); ip = float(plan.inv_f32[k])
+        t = (lim * plan.pow2_8i[k]).sum(axis=-1, dtype=I32)
+        outs.append(modular.barrett_reduce(t, p, ip))
+    return jnp.stack(outs)
