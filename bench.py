@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: FHE AES-128 CTR throughput on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published 84 s/block single-core (README.md:184-186)
+= 0.714 blocks/min.  Metric: CTR keystream blocks/min at the reference's
+production parameter set (128-bit security, p_fail ~ 2^-64), bit-exact
+decryption verified against the plaintext AES oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BLOCKS_PER_MIN = 60.0 / 84.0  # reference: 84 s/block, 1 CPU core
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=16,
+                    help="CTR blocks per timed batch")
+    ap.add_argument("--params", choices=["prod", "toy"], default="prod")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--skip-verify", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
+    from tfhe_aes_tpu.client.client import Client
+    from tfhe_aes_tpu.models import fhe_aes, tables
+    from tfhe_aes_tpu.utils import serialization
+
+    params = PARAM_OPT if args.params == "prod" else PARAM_TOY
+    dev = jax.devices()[0]
+    print(f"# device: {dev}, params: {params.name}, blocks: {args.blocks}",
+          file=sys.stderr)
+
+    cache = serialization.default_cache_dir() / f"{params.name}_seed0.npz"
+    t0 = time.time()
+    if cache.exists():
+        sk, dkeys = serialization.load_keys(cache)
+        client = Client(params, seed=0)
+        client.sk = sk
+    else:
+        client = Client(params, seed=0)
+        dkeys = client.make_device_keys()
+        serialization.save_keys(cache, client.sk, dkeys)
+    print(f"# keys ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    KEY = 0x2B7E151628AED2A6ABF7158809CF4F3C
+    IV = 0x00112233445566778899AABBCCDDEEFF
+    pk = client.make_public_key()
+    rcon_bits = np.stack([
+        np.array([(int(r) >> j) & 1 for j in range(8)], dtype=np.uint64)
+        for r in tables.RCON])
+    rcon = pk.encrypt_bits(rcon_bits, client.rng)
+    enc_key = jnp.asarray(client.encrypt_u128(KEY))
+    enc_iv = jnp.asarray(client.encrypt_u128(IV))
+
+    t0 = time.time()
+    rks = jax.block_until_ready(
+        fhe_aes.aes_key_expansion(dkeys, enc_key, jnp.asarray(rcon)))
+    print(f"# key expansion: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    B = args.blocks
+    i_bytes = fhe_aes.counter_bytes(B, 0)
+    lut_lsb, luts_rest = fhe_aes.add_scalar_luts(params, i_bytes)
+    lut_lsb, luts_rest = jnp.asarray(lut_lsb), jnp.asarray(luts_rest)
+
+    def run():
+        st = jnp.broadcast_to(enc_iv[None], (B,) + enc_iv.shape)
+        st = fhe_aes.add_scalar_device(dkeys, st, lut_lsb, luts_rest)
+        return jax.block_until_ready(fhe_aes.aes_encrypt(dkeys, rks, st))
+
+    t0 = time.time()
+    out = run()  # warmup (includes compiles)
+    print(f"# warmup batch: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = run()
+        times.append(time.time() - t0)
+    t_batch = min(times)
+    blocks_per_min = B / t_batch * 60.0
+
+    if not args.skip_verify:
+        client.decrypt_and_verify_ctr(np.asarray(out), KEY, IV)
+        print("# verified bit-exact vs plaintext AES", file=sys.stderr)
+
+    pbs_per_block = 128 * 10 + 16 * 9  # CBS bootstraps: rounds + ripple-add
+    print(f"# steady-state: {t_batch:.2f}s/batch, "
+          f"{B / t_batch * pbs_per_block:.0f} PBS/s/chip", file=sys.stderr)
+    print(json.dumps({
+        "metric": "aes128_ctr_blocks_per_min",
+        "value": round(blocks_per_min, 3),
+        "unit": "blocks/min",
+        "vs_baseline": round(blocks_per_min / BASELINE_BLOCKS_PER_MIN, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

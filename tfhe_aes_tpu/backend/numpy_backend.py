@@ -57,6 +57,24 @@ def negacyclic_mul_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+_NEG_MAT_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _negacyclic_matrix(s: np.ndarray) -> np.ndarray:
+    """{-1,0,1} negacyclic matrix of a binary poly (cached by content)."""
+    key = s.astype(np.uint8).tobytes()
+    mat = _NEG_MAT_CACHE.get(key)
+    if mat is None:
+        n = s.shape[-1]
+        idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % n
+        sign = np.where(np.arange(n)[None, :] >= np.arange(n)[:, None], 1, -1)
+        mat = (s.astype(np.int64)[idx] * sign).astype(np.float64)
+        if len(_NEG_MAT_CACHE) > 64:
+            _NEG_MAT_CACHE.clear()
+        _NEG_MAT_CACHE[key] = mat
+    return mat
+
+
 def negacyclic_mul_binary(a: np.ndarray, s: np.ndarray) -> np.ndarray:
     """Exact negacyclic product of u64 polys a[..., N] with binary poly s[N].
 
@@ -66,12 +84,7 @@ def negacyclic_mul_binary(a: np.ndarray, s: np.ndarray) -> np.ndarray:
     representable in f64), then recombine mod 2^64.
     """
     a = np.asarray(a, dtype=np.uint64)
-    s = np.asarray(s, dtype=np.int64)
-    n = s.shape[-1]
-    # Negacyclic matrix: M[j, k] = sign * s[(k - j) mod n], sign=-1 if k < j.
-    idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % n
-    sign = np.where(np.arange(n)[None, :] >= np.arange(n)[:, None], 1, -1)
-    mat = (s[idx] * sign).astype(np.float64)  # [n, n] in {-1, 0, 1}
+    mat = _negacyclic_matrix(np.asarray(s))
     lo = (a & U64(0xFFFFFFFF)).astype(np.float64)
     hi = (a >> U64(32)).astype(np.float64)
     lo_out = lo @ mat
@@ -248,13 +261,22 @@ def modswitch(ct: np.ndarray, two_n: int) -> np.ndarray:
 def bsk_gen(sk: SecretKeys, rng: np.random.Generator) -> np.ndarray:
     """Bootstrapping key: GGSW(s_i) for every small-LWE key bit.
 
-    -> [n, pbs_level, k+1, k+1, N] uint64.
+    -> [n, pbs_level, k+1, k+1, N] uint64.  Batched: one GLWE-encrypt call
+    produces all n * levels * (k+1) zero rows, then gadget constants are
+    added in place (sigma_u convention as in ggsw_encrypt).
     """
     p = sk.params
-    return np.stack([
-        ggsw_encrypt(sk.glwe_key, int(sk.lwe_key[i]), p.pbs_base_log,
-                     p.pbs_level, p.glwe_noise_std, rng)
-        for i in range(p.lwe_dimension)])
+    k, n = p.glwe_dimension, p.polynomial_size
+    lev = p.pbs_level
+    zeros = glwe_encrypt(
+        sk.glwe_key,
+        np.zeros((p.lwe_dimension, lev, k + 1, n), np.uint64),
+        p.glwe_noise_std, rng)                 # [n_lwe, lev, k+1, k+1, N]
+    for l in range(lev):
+        g = U64((1 << (64 - p.pbs_base_log * (l + 1))) % (1 << 64))
+        for u in range(k + 1):
+            zeros[:, l, u, u, 0] += sk.lwe_key * g
+    return zeros
 
 
 def blind_rotate(bsk: np.ndarray, lwe_ct: np.ndarray, test_glwe: np.ndarray,
@@ -335,8 +357,8 @@ def pfpksk_gen(sk: SecretKeys, rng: np.random.Generator) -> np.ndarray:
     p = sk.params
     k, n = p.glwe_dimension, p.polynomial_size
     big = p.big_lwe_dimension
-    out = np.empty((k + 1, big + 1, p.pfks_level, k + 1, n), dtype=np.uint64)
     bigkey = sk.big_lwe_key
+    msgs = np.zeros((k + 1, big + 1, p.pfks_level, n), dtype=np.uint64)
     for u in range(k + 1):
         # sigma_u as a polynomial: -S_u for u<k, else constant 1.
         if u < k:
@@ -346,13 +368,9 @@ def pfpksk_gen(sk: SecretKeys, rng: np.random.Generator) -> np.ndarray:
             sigma[0] = U64(1)
         for l in range(p.pfks_level):
             g = U64((1 << (64 - p.pfks_base_log * (l + 1))) % (1 << 64))
-            # messages for all t at once: (-bigkey_t) * sigma * g, + sigma*g
-            msgs = np.zeros((big + 1, n), dtype=np.uint64)
-            msgs[:big] = (U64(0) - bigkey[:, None]) * sigma[None, :] * g
-            msgs[big] = sigma * g
-            out[u, :, l] = glwe_encrypt(sk.glwe_key, msgs, p.glwe_noise_std,
-                                        rng)
-    return out
+            msgs[u, :big, l] = (U64(0) - bigkey[:, None]) * sigma[None, :] * g
+            msgs[u, big, l] = sigma * g
+    return glwe_encrypt(sk.glwe_key, msgs, p.glwe_noise_std, rng)
 
 
 def pfpksk_apply(pfpksk_u: np.ndarray, ct: np.ndarray, base_log: int,

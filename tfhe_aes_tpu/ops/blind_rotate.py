@@ -37,7 +37,8 @@ def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
 
 
 def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
-                 lwe_u64: jnp.ndarray, test_glwe_u64: jnp.ndarray
+                 lwe_u64: jnp.ndarray, test_glwe_u64: jnp.ndarray,
+                 fwd_limbs: jnp.ndarray, inv_crt_limbs: jnp.ndarray
                  ) -> jnp.ndarray:
     """lwe_u64: [B, n+1]; test_glwe_u64: [k+1, N] or [B, k+1, N].
 
@@ -51,9 +52,6 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
         test_glwe_u64 = jnp.broadcast_to(
             test_glwe_u64[None], (lwe_u64.shape[0],) + test_glwe_u64.shape)
     acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
-
-    fwd_limbs = jnp.asarray(plan.fwd_limbs)
-    inv_crt_limbs = jnp.asarray(plan.inv_crt_limbs)
 
     def body(i, acc):
         a_i = tilde[:, i]                            # [B]

@@ -29,8 +29,8 @@ def pbs_boolean(keys: DeviceKeys, lwe_small_u64: jnp.ndarray,
     n = p.polynomial_size
     test = jnp.zeros((p.glwe_dimension + 1, n), U64)
     test = test.at[-1, :].set(U64(0) - (U64(1) << U64(out_scale_log - 1)))
-    acc = blind_rotate.blind_rotate(keys.plan, p, jnp.asarray(keys.bsk_ntt),
-                                    ct, test)
+    acc = blind_rotate.blind_rotate(keys.plan, p, keys.bsk_ntt, ct, test,
+                                    keys.fwd_limbs, keys.inv_crt_limbs)
     out = lwe.sample_extract0(acc)
     return out.at[..., -1].add(U64(1) << U64(out_scale_log - 1))
 
@@ -49,7 +49,7 @@ def pfpksk_apply_all(keys: DeviceKeys, big_lwe_u64: jnp.ndarray) -> jnp.ndarray:
     hi = (d + 128) >> 8
     lo = (d - (hi << 8)).astype(jnp.int8)
     hi = hi.astype(jnp.int8)
-    key = jnp.asarray(keys.pfpksk_limbs)             # [T2, kp1*kp1*N*8]
+    key = keys.pfpksk_limbs                          # [T2, kp1*kp1*N*8]
     out_cols = kp1 * kp1 * n
     outs = []
     for i, dl in enumerate((lo, hi)):
@@ -83,4 +83,4 @@ def circuit_bootstrap(keys: DeviceKeys,
     sh = g.shape
     g = g.reshape(sh[0], sh[1] * sh[2], sh[3], sh[4])  # [B, R2, j, N]
     res = ntt.u64_to_residues(plan, g)               # [P, B, R2, j, N] bal
-    return ntt.ntt_fwd_residues(plan, res, jnp.asarray(plan.fwd_limbs))
+    return ntt.ntt_fwd_residues(plan, res, keys.fwd_limbs)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 
 from ..params import ParamSet
 from ..utils import crt, torus
@@ -28,21 +29,36 @@ from ..backend import numpy_backend as nb
 from . import modular, ntt
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceKeys:
-    params: ParamSet
-    plan: ntt.NttPlan
-    bsk_ntt: np.ndarray       # int16 [n, P, R, k+1, N]
-    ksk_limbs: np.ndarray     # int8  [big*ks_level, (n+1)*8]
-    pfpksk_limbs: np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)*(k+1)*N*8]
+    """Evaluation keys as a JAX pytree: array leaves are traced arguments of
+    jitted kernels (never baked constants), params/plan are static metadata."""
+    params: ParamSet = dataclasses.field(metadata=dict(static=True))
+    plan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
+    bsk_ntt: jax.Array | np.ndarray       # int16 [n, P, R, k+1, N]
+    ksk_limbs: jax.Array | np.ndarray     # int8  [big*ks_lev, (n+1)*8]
+    pfpksk_limbs: jax.Array | np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)^2*N*8]
+    fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]
+    inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]
 
 
 def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray) -> np.ndarray:
-    """u64 polys [..., N] -> balanced NTT residues int64 [P, ..., N] (host)."""
+    """u64 polys [..., N] -> balanced NTT residues [P, ..., N] (host).
+
+    Uses the native C++ runtime (multithreaded exact NTT) when available;
+    numpy/f64-BLAS fallback otherwise.  Representative convention matches
+    ops.ntt.u64_to_residues (signed limbs, == x mod 2^64).
+    """
+    from .. import runtime
+    n = polys_u64.shape[-1]
+    flat = polys_u64.reshape(-1, n)
     outs = []
     for p in primes:
-        res = (polys_u64 % np.uint64(p)).astype(np.int64)
-        outs.append(modular.host_balanced(crt.ntt_fwd_host(res, p), p))
+        res = runtime.balanced_residues(flat, p)
+        mat, _ = crt.ntt_matrices(p, n)
+        outs.append(runtime.ntt_rows_mod(res, mat.astype(np.int32), p)
+                    .reshape(polys_u64.shape))
     return np.stack(outs)
 
 
@@ -59,10 +75,10 @@ def pack_bsk(params: ParamSet, plan: ntt.NttPlan,
 
 def pack_ksk(params: ParamSet, ksk_u64: np.ndarray) -> np.ndarray:
     """Golden KSK [big, lev, n+1] -> int8 limbs [big*lev, (n+1)*8]."""
+    from .. import runtime
     big, lev, np1 = ksk_u64.shape
-    limbs = torus.signed_limbs(ksk_u64, 8)             # [big, lev, n+1, 8]
-    return np.ascontiguousarray(
-        limbs.reshape(big * lev, np1 * 8).astype(np.int8))
+    limbs = runtime.signed_limbs(ksk_u64, 8)           # [big, lev, n+1, 8]
+    return np.ascontiguousarray(limbs.reshape(big * lev, np1 * 8))
 
 
 def pack_pfpksk(params: ParamSet, pfpksk_u64: np.ndarray) -> np.ndarray:
@@ -71,11 +87,12 @@ def pack_pfpksk(params: ParamSet, pfpksk_u64: np.ndarray) -> np.ndarray:
     Output [ (big+1)*lev, (k+1)_u * (k+1)_j * N * 8 ] so one matmul applies
     all k+1 functional keyswitches at once (CBS needs all of them per bit).
     """
+    from .. import runtime
     kp1, bigp1, lev, _, n = pfpksk_u64.shape
-    limbs = torus.signed_limbs(pfpksk_u64, 8)          # [u, t, l, j, N, 8]
+    limbs = runtime.signed_limbs(pfpksk_u64, 8)        # [u, t, l, j, N, 8]
     limbs = limbs.transpose(1, 2, 0, 3, 4, 5)          # [t, l, u, j, N, 8]
     return np.ascontiguousarray(
-        limbs.reshape(bigp1 * lev, kp1 * kp1 * n * 8).astype(np.int8))
+        limbs.reshape(bigp1 * lev, kp1 * kp1 * n * 8))
 
 
 def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
@@ -92,4 +109,6 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         bsk_ntt=pack_bsk(p, plan, bsk),
         ksk_limbs=pack_ksk(p, ksk),
         pfpksk_limbs=pack_pfpksk(p, pfp),
+        fwd_limbs=plan.fwd_limbs,
+        inv_crt_limbs=plan.inv_crt_limbs,
     )

@@ -53,9 +53,15 @@ def _host_limb_matrices(primes, n: int, inverse: bool, fold_crt: bool):
     return np.ascontiguousarray(arr.transpose(0, 1, 4, 2, 3))  # [P,2,2,N,N]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class NttPlan:
-    """Precomputed device constants for one polynomial size."""
+    """Precomputed device constants for one polynomial size.
+
+    eq=False: hashed/compared by identity so the plan can ride jitted
+    functions as static metadata (make_plan is cached, so identity is stable
+    per (n, primes)).  The big limb matrices must NOT be read inside traced
+    code — pass them as explicit array arguments (see ops.keys.DeviceKeys).
+    """
     n: int
     primes: tuple[int, ...]
     fwd_limbs: np.ndarray        # int8 [P, 2, 2, N, N]

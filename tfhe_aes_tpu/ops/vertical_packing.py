@@ -17,13 +17,13 @@ import jax.numpy as jnp
 
 from ..params import ParamSet
 from . import blind_rotate, lwe, ntt
+from .keys import DeviceKeys
 
 U64 = jnp.uint64
 
 
-def vertical_packing(plan: ntt.NttPlan, params: ParamSet,
-                     ggsw_ntt: jnp.ndarray, lut_polys_u64: jnp.ndarray
-                     ) -> jnp.ndarray:
+def vertical_packing(keys: DeviceKeys, ggsw_ntt: jnp.ndarray,
+                     lut_polys_u64: jnp.ndarray) -> jnp.ndarray:
     """Evaluate LUTs under GGSW-encrypted selector bits.
 
     ggsw_ntt:      [nbits, P, B, R2, k+1, N] int32 (bit j at index j, LSB
@@ -33,7 +33,7 @@ def vertical_packing(plan: ntt.NttPlan, params: ParamSet,
                    2^nbits <= N).
     Returns big-LWE [B, L, big+1] u64 of lut[value] per (batch, output).
     """
-    p = params
+    plan, p = keys.plan, keys.params
     nbits = ggsw_ntt.shape[0]
     n = p.polynomial_size
     log_n = p.log2_poly_size
@@ -44,8 +44,8 @@ def vertical_packing(plan: ntt.NttPlan, params: ParamSet,
     C = lut_polys_u64.shape[2]
     assert C == 1 << tree_bits
 
-    fwd = jnp.asarray(plan.fwd_limbs)
-    inv_crt = jnp.asarray(plan.inv_crt_limbs)
+    fwd = keys.fwd_limbs
+    inv_crt = keys.inv_crt_limbs
 
     # Trivial GLWE accumulators [B, L, C, k+1, N].
     acc = jnp.zeros((B, L, C, p.glwe_dimension + 1, n), U64)

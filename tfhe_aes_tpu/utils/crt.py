@@ -129,18 +129,23 @@ def ntt_matrices(p: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     return fwd.astype(np.int64), inv.astype(np.int64)
 
 
+def _matmul_mod_f64(a: np.ndarray, m: np.ndarray, p: int) -> np.ndarray:
+    """Exact (a @ m) mod p via BLAS f64: p^2 * n < 2^41 << 2^53."""
+    prod = a.astype(np.float64) @ m.astype(np.float64)
+    return np.mod(prod, float(p)).astype(np.int64) % p
+
+
 def ntt_fwd_host(a: np.ndarray, p: int) -> np.ndarray:
     """Forward negacyclic NTT mod p of int64 rows a[..., n] (values any int)."""
     a = np.asarray(a, dtype=np.int64) % p
     fwd, _ = ntt_matrices(p, a.shape[-1])
-    # products < p^2 < 2^31 summed over n <= 1024 -> < 2^41: fits int64.
-    return (a @ fwd) % p
+    return _matmul_mod_f64(a, fwd, p)
 
 
 def ntt_inv_host(ahat: np.ndarray, p: int) -> np.ndarray:
     ahat = np.asarray(ahat, dtype=np.int64) % p
     _, inv = ntt_matrices(p, ahat.shape[-1])
-    return (ahat @ inv) % p
+    return _matmul_mod_f64(ahat, inv, p)
 
 
 @functools.lru_cache(maxsize=None)
