@@ -86,3 +86,18 @@ def test_device_many_wopbs_sbox(params):
                      for ob in range(8))
         assert got_s == int(sbox[byte]), f"sbox({byte:#x})"
         assert got_m2 == int(mul2_sbox[byte]), f"mul2(sbox)({byte:#x})"
+
+
+def test_fast_keygen_pipeline():
+    """Device-accelerated keygen produces working evaluation keys."""
+    from tfhe_aes_tpu.client import keygen_fast
+    from tfhe_aes_tpu.backend import numpy_backend as nb
+    client = Client(PARAM_TOY, seed=9)
+    dkeys = keygen_fast.make_device_keys_fast(client.sk, client.rng)
+    sbox = tables.sbox()
+    lut = luts.lut_polys_from_tables(PARAM_TOY, sbox[None], 8)
+    byte_cts = np.stack([client.encrypt_byte(0xA7)])
+    out = np.asarray(wopbs.many_wopbs(dkeys, jnp.asarray(byte_cts),
+                                      jnp.asarray(lut)))
+    got = sum(int(client.decrypt_bits(out[0, ob])) << ob for ob in range(8))
+    assert got == int(sbox[0xA7])

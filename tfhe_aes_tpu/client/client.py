@@ -47,7 +47,13 @@ class Client:
         self.sk = nb.gen_secret_keys(params, self.rng)
 
     # -- key material for the server (the trust boundary) -------------------
-    def make_device_keys(self) -> keys_mod.DeviceKeys:
+    def make_device_keys(self, fast: bool = True) -> keys_mod.DeviceKeys:
+        """Evaluation keys in device layout.  fast=True routes the GLWE
+        mask products + BSK NTT staging through the accelerator
+        (client.keygen_fast); fast=False is the pure-host golden path."""
+        if fast:
+            from . import keygen_fast
+            return keygen_fast.make_device_keys_fast(self.sk, self.rng)
         return keys_mod.make_device_keys(self.sk, self.rng)
 
     def make_public_key(self, n_pk: int | None = None) -> PublicKey:

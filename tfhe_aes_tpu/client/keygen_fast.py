@@ -1,0 +1,147 @@
+"""Device-accelerated key generation.
+
+Production keygen is dominated by GLWE mask-times-secret negacyclic products
+(~50k polynomial multiplications for BSK + PFPKSK) and by staging the BSK in
+the NTT domain.  Both are exactly the workloads the device kernels already
+implement, so keygen itself runs on the accelerator: masks are sampled on the
+host (numpy CSPRNG), the exact u64 products a_i * S_i run through the RNS-NTT
+pipeline in chunks, and noise/messages are added on the host.
+
+Outputs are bit-for-bit the same *distribution* as backend.numpy_backend's
+generators (same layouts, same conventions) — validated in tests by phase
+roundtrips and by running the full WoPBS pipeline on fast-generated keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import ParamSet
+from ..utils import crt, torus
+from ..backend import numpy_backend as nb
+from ..ops import keys as keys_mod
+from ..ops import ntt
+
+U64 = np.uint64
+
+
+def _make_mask_dot(plan: ntt.NttPlan):
+    """Returns jitted fn: (a [M, k, N] u64, shat [P,k,1,N]) -> [M, N] u64
+    computing sum_i a_i * S_i exactly mod 2^64."""
+
+    def f(a_u64, shat, fwd_limbs, inv_crt_limbs):
+        res = ntt.u64_to_residues(plan, a_u64)          # [P, M, k, N]
+        ahat = ntt.ntt_fwd_residues(plan, res, fwd_limbs)
+        prod = ntt.pointwise_mac(plan, ahat, shat[:, None])  # [P, M, 1, N]
+        return ntt.intt_crt_u64(plan, prod, inv_crt_limbs)[:, 0]
+
+    return jax.jit(f)
+
+
+def glwe_encrypt_fast(plan: ntt.NttPlan, glwe_key: np.ndarray,
+                      msgs: np.ndarray, std: float,
+                      rng: np.random.Generator,
+                      chunk: int = 4096) -> np.ndarray:
+    """Device-accelerated nb.glwe_encrypt: msgs [..., N] -> [..., k+1, N]."""
+    k, n = glwe_key.shape
+    lead = msgs.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    msgs2 = msgs.reshape(m, n)
+    a = rng.integers(0, 1 << 64, size=(m, k, n), dtype=np.uint64)
+    e = torus.sample_gaussian_torus(rng, std, (m, n))
+
+    shat_np = np.stack([
+        crt.ntt_fwd_host(glwe_key.astype(np.int64), p)
+        for p in plan.primes])                            # [P, k, N] canonical
+    from ..ops import modular
+    shat_np = np.stack([modular.host_balanced(shat_np[i], p)
+                        for i, p in enumerate(plan.primes)]).astype(np.int32)
+    shat = jnp.asarray(shat_np)[:, :, None, :]            # [P, k, 1, N]
+    fwd = jnp.asarray(plan.fwd_limbs)
+    inv_crt = jnp.asarray(plan.inv_crt_limbs)
+    dot = _make_mask_dot(plan)
+
+    b = msgs2 + e
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        conv = np.asarray(dot(jnp.asarray(a[lo:hi]), shat, fwd, inv_crt))
+        b[lo:hi] += conv
+    out = np.concatenate([a, b[:, None, :]], axis=1)      # [m, k+1, n]
+    return out.reshape(lead + (k + 1, n))
+
+
+def bsk_gen_fast(sk: nb.SecretKeys, rng: np.random.Generator,
+                 plan: ntt.NttPlan) -> np.ndarray:
+    p = sk.params
+    k, n = p.glwe_dimension, p.polynomial_size
+    lev = p.pbs_level
+    zeros = glwe_encrypt_fast(
+        plan, sk.glwe_key,
+        np.zeros((p.lwe_dimension, lev, k + 1, n), np.uint64),
+        p.glwe_noise_std, rng)
+    for l in range(lev):
+        g = U64((1 << (64 - p.pbs_base_log * (l + 1))) % (1 << 64))
+        for u in range(k + 1):
+            zeros[:, l, u, u, 0] += sk.lwe_key * g
+    return zeros
+
+
+def pfpksk_gen_fast(sk: nb.SecretKeys, rng: np.random.Generator,
+                    plan: ntt.NttPlan) -> np.ndarray:
+    p = sk.params
+    k, n = p.glwe_dimension, p.polynomial_size
+    big = p.big_lwe_dimension
+    bigkey = sk.big_lwe_key
+    msgs = np.zeros((k + 1, big + 1, p.pfks_level, n), dtype=np.uint64)
+    for u in range(k + 1):
+        if u < k:
+            sigma = (U64(0) - sk.glwe_key[u])
+        else:
+            sigma = np.zeros(n, dtype=np.uint64)
+            sigma[0] = U64(1)
+        for l in range(p.pfks_level):
+            g = U64((1 << (64 - p.pfks_base_log * (l + 1))) % (1 << 64))
+            msgs[u, :big, l] = (U64(0) - bigkey[:, None]) * sigma[None, :] * g
+            msgs[u, big, l] = sigma * g
+    return glwe_encrypt_fast(plan, sk.glwe_key, msgs, p.glwe_noise_std, rng)
+
+
+def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
+                          primes=None) -> keys_mod.DeviceKeys:
+    """Device-accelerated equivalent of keys.make_device_keys."""
+    p = sk.params
+    plan = ntt.make_plan(p.polynomial_size, primes or crt.ntt_primes())
+
+    bsk = bsk_gen_fast(sk, rng, plan)
+    ksk = nb.ksk_gen(sk, rng)          # LWE-level: already cheap on host
+    pfp = pfpksk_gen_fast(sk, rng, plan)
+
+    # BSK NTT staging on device, preserving pack_bsk's layout.
+    n_lwe, lev, kp1, _, n = bsk.shape
+    rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, n)
+    fwd = jnp.asarray(plan.fwd_limbs)
+
+    @jax.jit
+    def stage(x):
+        res = ntt.u64_to_residues(plan, x)
+        return ntt.ntt_fwd_residues(plan, res, fwd).astype(jnp.int16)
+
+    outs = []
+    chunk = 16384
+    for lo in range(0, rows.shape[0], chunk):
+        outs.append(np.asarray(stage(jnp.asarray(rows[lo:lo + chunk]))))
+    res = np.concatenate(outs, axis=1)                  # [P, M, N]
+    bsk_ntt = np.ascontiguousarray(
+        res.reshape(plan.n_primes, n_lwe, kp1 * lev, kp1, n)
+        .transpose(1, 0, 2, 3, 4).astype(np.int16))
+
+    return keys_mod.DeviceKeys(
+        params=p, plan=plan,
+        bsk_ntt=bsk_ntt,
+        ksk_limbs=keys_mod.pack_ksk(p, ksk),
+        pfpksk_limbs=keys_mod.pack_pfpksk(p, pfp),
+        fwd_limbs=plan.fwd_limbs,
+        inv_crt_limbs=plan.inv_crt_limbs,
+    )

@@ -34,13 +34,9 @@ def make_mesh(n_dp: int | None = None, n_mp: int = 1,
 def shard_keys(mesh: Mesh, keys: DeviceKeys) -> DeviceKeys:
     """Replicate evaluation keys onto every device of the mesh."""
     rep = NamedSharding(mesh, P())
-    return DeviceKeys(
-        params=keys.params,
-        plan=keys.plan,
-        bsk_ntt=jax.device_put(keys.bsk_ntt, rep),
-        ksk_limbs=jax.device_put(keys.ksk_limbs, rep),
-        pfpksk_limbs=jax.device_put(keys.pfpksk_limbs, rep),
-    )
+    arrays, treedef = jax.tree_util.tree_flatten(keys)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(a, rep) for a in arrays])
 
 
 def sharded_ctr_fn(mesh: Mesh, keys: DeviceKeys, n_blocks: int,
