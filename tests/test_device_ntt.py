@@ -68,3 +68,32 @@ def test_u64_to_residues():
     for k, p in enumerate(plan.primes):
         want = torus.recompose_limbs_mod(limbs, 8, p)
         assert np.array_equal(got[k] % p, want), f"prime {p}"
+
+
+def test_mac_mxu_matches_golden():
+    """MXU limb-matmul MACs == elementwise golden pointwise_mac."""
+    n = 128
+    plan = ntt.make_plan(n)
+    P = plan.n_primes
+    B, F, R, J = 3, 2, 7, 5
+    half = np.array(plan.primes, dtype=np.int64) // 2
+    dhat = np.stack([RNG.integers(-h, h + 1, size=(B, F, R, n))
+                     for h in half]).astype(np.int32)
+    ghat = np.stack([RNG.integers(-h, h + 1, size=(B, R, J, n))
+                     for h in half]).astype(np.int32)
+
+    got = np.asarray(ntt.mac_batched(plan, jnp.asarray(dhat),
+                                     jnp.asarray(ghat)))
+    want = np.asarray(ntt.pointwise_mac(
+        plan, jnp.asarray(dhat.reshape(P, B, F * R, n).reshape(P, B, F, R, n)),
+        jnp.asarray(ghat[:, :, None])))
+    for k, p in enumerate(plan.primes):
+        assert np.array_equal(got[k] % p, want[k] % p), f"prime {p}"
+        assert np.abs(got[k]).max() <= p // 2
+
+    got_s = np.asarray(ntt.mac_shared(plan, jnp.asarray(dhat[:, :, 0]),
+                                      jnp.asarray(ghat[:, 0])))
+    want_s = np.asarray(ntt.pointwise_mac(
+        plan, jnp.asarray(dhat[:, :, 0]), jnp.asarray(ghat[:, None, 0])))
+    for k, p in enumerate(plan.primes):
+        assert np.array_equal(got_s[k] % p, want_s[k] % p), f"prime {p}"

@@ -37,7 +37,7 @@ def test_aes_encrypt_matches_oracle(ctx):
     rks = _encrypt_round_keys(client, KEY)
     pts = [IV, 0x6BC1BEE22E409F96E93D7E117393172A]
     state = jnp.asarray(np.stack([client.encrypt_u128(p) for p in pts]))
-    out = np.asarray(fhe_aes.aes_encrypt(dkeys, rks, state))
+    out = np.asarray(fhe_aes.aes_encrypt_jit(dkeys, rks, state))
     for i, pt in enumerate(pts):
         got = client.decrypt_state_u128(out[i])
         want = aes_plain.bytes_be_to_u128(aes_plain.encrypt_block(
@@ -52,7 +52,7 @@ def test_aes_decrypt_roundtrip(ctx):
                                        aes_plain.u128_to_bytes_be(IV))
     state = jnp.asarray(client.encrypt_u128(
         aes_plain.bytes_be_to_u128(ct_plain)))[None]
-    out = np.asarray(fhe_aes.aes_decrypt(dkeys, rks, state))
+    out = np.asarray(fhe_aes.aes_decrypt_jit(dkeys, rks, state))
     assert client.decrypt_state_u128(out[0]) == IV
 
 
@@ -64,7 +64,7 @@ def test_key_expansion(ctx):
         for r in fhe_aes.tables.RCON])
     rcon_cts = pk.encrypt_bits(rcon_bits, client.rng)
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
-    rks = np.asarray(fhe_aes.aes_key_expansion(dkeys, enc_key,
+    rks = np.asarray(fhe_aes.aes_key_expansion_jit(dkeys, enc_key,
                                                jnp.asarray(rcon_cts)))
     want = aes_plain.key_expansion(aes_plain.u128_to_bytes_be(KEY))
     for r in range(11):
@@ -96,6 +96,6 @@ def test_ctr_end_to_end(ctx):
     rcon_cts = jnp.asarray(pk.encrypt_bits(rcon_bits, client.rng))
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
     enc_iv = jnp.asarray(client.encrypt_u128(IV))
-    rks = fhe_aes.aes_key_expansion(dkeys, enc_key, rcon_cts)
+    rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key, rcon_cts)
     ks = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 2))
     client.decrypt_and_verify_ctr(ks, KEY, IV)

@@ -81,8 +81,8 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
     t0 = time.time()
-    round_keys = fhe_aes.aes_key_expansion(dkeys, jnp.asarray(enc_key),
-                                           jnp.asarray(rcon))
+    round_keys = fhe_aes.aes_key_expansion_jit(dkeys, jnp.asarray(enc_key),
+                                               jnp.asarray(rcon))
     round_keys = jax.block_until_ready(round_keys)
     t_exp = time.time() - t0
     print(f"[server] AES key expansion took: {t_exp:.2f}s")
@@ -104,7 +104,7 @@ def main(argv=None) -> int:
 
     if args.decrypt:
         t0 = time.time()
-        back = fhe_aes.aes_decrypt(dkeys, round_keys, ks[:1])
+        back = fhe_aes.aes_decrypt_jit(dkeys, round_keys, ks[:1])
         back = jax.block_until_ready(back)
         print(f"[server] homomorphic decrypt (1 block) took "
               f"{time.time()-t0:.2f}s")

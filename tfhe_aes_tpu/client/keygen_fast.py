@@ -34,7 +34,7 @@ def _make_mask_dot(plan: ntt.NttPlan):
     def f(a_u64, shat, fwd_limbs, inv_crt_limbs):
         res = ntt.u64_to_residues(plan, a_u64)          # [P, M, k, N]
         ahat = ntt.ntt_fwd_residues(plan, res, fwd_limbs)
-        prod = ntt.pointwise_mac(plan, ahat, shat[:, None])  # [P, M, 1, N]
+        prod = ntt.mac_shared(plan, ahat, shat)         # [P, M, 1, N]
         return ntt.intt_crt_u64(plan, prod, inv_crt_limbs)[:, 0]
 
     return jax.jit(f)

@@ -117,15 +117,24 @@ def _mix(mul_state, var_table):
 def aes_encrypt(keys: DeviceKeys, round_keys, state):
     """Batched AES-128 encryption (server.rs:39-64).
 
-    round_keys: [11, 16, 8, big+1]; state: [B, 16, 8, big+1]."""
+    round_keys: [11, 16, 8, big+1]; state: [B, 16, 8, big+1].  The nine
+    identical middle rounds are a lax.fori_loop so the whole cipher traces to
+    ONE compact XLA program — a single device dispatch per batch, no
+    per-round host round-trips (the reference pays per-op dispatch on every
+    rayon thread instead, main.rs:55-64)."""
     p = keys.params
+    fwd_l = jnp.asarray(_fwd_luts(p))
     state = add_round_key(state, round_keys[0])
-    for rnd in range(1, 10):
-        mul = _byte_wopbs(keys, state, _fwd_luts(p))       # [B,16,24,big+1]
+
+    def round_body(rnd, st):
+        mul = _byte_wopbs(keys, st, fwd_l)                 # [B,16,24,big+1]
         mul = mul.reshape(mul.shape[:2] + (3, 8) + mul.shape[3:])
         mul = shift_rows(mul)                              # permute bytes
-        state = _mix(mul, _MC_VAR)                         # depth-4 adds
-        state = add_round_key(state, round_keys[rnd])
+        st = _mix(mul, _MC_VAR)                            # depth-4 adds
+        rk = jax.lax.dynamic_index_in_dim(round_keys, rnd, 0, keepdims=False)
+        return add_round_key(st, rk)
+
+    state = jax.lax.fori_loop(1, 10, round_body, state)
     out = _byte_wopbs(keys, state, _sbox_lut(p, inv=False))  # final SubBytes
     state = shift_rows(out)
     return add_round_key(state, round_keys[10])
@@ -136,14 +145,22 @@ def aes_decrypt(keys: DeviceKeys, round_keys, state):
     the round-key add between InvSubBytes and InvMixColumns forces a second
     many-LUT pass for the mul9/11/13/14 multiples."""
     p = keys.params
+    inv_sbox_l = jnp.asarray(_sbox_lut(p, inv=True))
+    inv_mul_l = jnp.asarray(_inv_mul_luts(p))
     state = add_round_key(state, round_keys[10])
-    for rnd in range(10, 1, -1):
-        state = inv_shift_rows(state)
-        state = _byte_wopbs(keys, state, _sbox_lut(p, inv=True))
-        state = add_round_key(state, round_keys[rnd - 1])
-        mul = _byte_wopbs(keys, state, _inv_mul_luts(p))   # [B,16,32,big+1]
+
+    def round_body(i, st):
+        rnd = 10 - i
+        st = inv_shift_rows(st)
+        st = _byte_wopbs(keys, st, inv_sbox_l)
+        rk = jax.lax.dynamic_index_in_dim(round_keys, rnd - 1, 0,
+                                          keepdims=False)
+        st = add_round_key(st, rk)
+        mul = _byte_wopbs(keys, st, inv_mul_l)             # [B,16,32,big+1]
         mul = mul.reshape(mul.shape[:2] + (4, 8) + mul.shape[3:])
-        state = _mix(mul, _IMC_VAR)
+        return _mix(mul, _IMC_VAR)
+
+    state = jax.lax.fori_loop(0, 9, round_body, state)
     state = inv_shift_rows(state)
     state = _byte_wopbs(keys, state, _sbox_lut(p, inv=True))
     return add_round_key(state, round_keys[0])
@@ -157,25 +174,43 @@ def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts):
     """enc_key [16, 8, big+1] -> round keys [11, 16, 8, big+1].
 
     rcon_cts: [10, 8, big+1] — RCON bytes encrypted server-side with the
-    public key (server.rs:139-140).  Every generated word is noise-refreshed
-    through an identity WoPBS (server.rs:150), so all round-key bytes exit at
-    nominal noise.
+    public key (server.rs:139-140).  Every generated round-key byte exits at
+    nominal noise through an identity WoPBS (server.rs:150).
+
+    Scheduling (TPU): one lax.scan over the 10 rounds, each round only
+    THREE sequential WoPBS calls instead of the reference's five
+    (1 SubWord + 4 per-word refreshes, server.rs:131-154): the first three
+    new words are formed as leveled sums of *fresh* inputs and refreshed as
+    one 12-byte batch, then w3 completes from the refreshed w2.  Leveled
+    noise stays within the <=5-additions budget (README.md:176-180):
+    n0 = w0 + sub + rcon (3), n1 = w1 + n0 (4), n2 = w2 + n1 (5) -> refresh;
+    n3 = w3 + n2' (2) -> refresh.
     """
     p = keys.params
     ident = jnp.asarray(_identity_lut(p))
     sbox_l = jnp.asarray(_sbox_lut(p, inv=False))
-    w = [enc_key[4 * i:4 * i + 4] for i in range(4)]   # words: [4,8,big+1]
-    for i in range(4, 44):
-        temp = w[i - 1]
-        if i % 4 == 0:
-            temp = temp[np.array([1, 2, 3, 0])]        # RotWord (free)
-            temp = wopbs.many_wopbs_jit(keys, temp, sbox_l)  # SubWord
-            temp = temp.at[0].add(rcon_cts[i // 4 - 1])
-        new = w[i - 4] + temp
-        new = wopbs.many_wopbs_jit(keys, new, ident)   # noise refresh
-        w.append(new)
-    rks = [jnp.concatenate(w[4 * i:4 * i + 4], axis=0) for i in range(11)]
-    return jnp.stack(rks)
+    rk0 = enc_key
+
+    def round_body(prev_rk, rcon):
+        w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
+        temp = w[3][np.array([1, 2, 3, 0])]            # RotWord (free)
+        temp = wopbs.many_wopbs(keys, temp, sbox_l)    # SubWord (fresh)
+        temp = temp.at[0].add(rcon)                    # += RCON ct (lvl 2)
+        n0 = w[0] + temp                               # lvl 3 (byte 0)
+        n1 = w[1] + n0                                 # lvl 4
+        n2 = w[2] + n1                                 # lvl 5 = budget
+        fresh = wopbs.many_wopbs(
+            keys, jnp.concatenate([n0, n1, n2], axis=0), ident)
+        n3 = w[3] + fresh[8:12]                        # w3 + n2' -> lvl 2
+        n3 = wopbs.many_wopbs(keys, n3, ident)
+        new_rk = jnp.concatenate([fresh, n3], axis=0)  # [16, 8, big+1]
+        return new_rk, new_rk
+
+    _, rks = jax.lax.scan(round_body, rk0, rcon_cts)
+    return jnp.concatenate([rk0[None], rks], axis=0)
+
+
+aes_key_expansion_jit = jax.jit(aes_key_expansion)
 
 
 # ---------------------------------------------------------------------------
@@ -222,22 +257,51 @@ def add_scalar_device(keys: DeviceKeys, state, lut_lsb, luts_rest):
     tests `x + i > 255` with the FULL scalar i (server.rs:182), which is only
     correct for i < 256; we use the exact per-byte carry (SURVEY.md 3.4).
     """
-    out = wopbs.many_wopbs_jit(keys, state[:, 15], lut_lsb)
-    new_bytes = {15: out[:, :8]}
+    out = wopbs.many_wopbs(keys, state[:, 15], lut_lsb)
+    state = state.at[:, 15].set(out[:, :8])
     carry = out[:, 8:9]                                # [B,1,big+1]
-    for step, idx in enumerate(range(14, -1, -1)):
-        bits9 = jnp.concatenate([state[:, idx], carry], axis=1)
-        out = wopbs.many_wopbs_jit(keys, bits9, luts_rest[step])
-        new_bytes[idx] = out[:, :8]
-        carry = out[:, 8:9]
-    return jnp.stack([new_bytes[i] for i in range(16)], axis=1)
+
+    def body(step, sc):
+        st, car = sc
+        idx = 14 - step
+        byte = jax.lax.dynamic_index_in_dim(st, idx, 1, keepdims=False)
+        bits9 = jnp.concatenate([byte, car], axis=1)
+        lut = jax.lax.dynamic_index_in_dim(luts_rest, step, 0, keepdims=False)
+        out = wopbs.many_wopbs(keys, bits9, lut)
+        st = jax.lax.dynamic_update_index_in_dim(
+            st, out[:, None, :8], idx, 1)
+        return st, out[:, 8:9]
+
+    state, _ = jax.lax.fori_loop(0, 15, body, (state, carry))
+    return state
+
+
+add_scalar_device_jit = jax.jit(add_scalar_device)
 
 
 def add_scalar(keys: DeviceKeys, state, i_bytes: np.ndarray):
     """Convenience wrapper: build LUTs on host, run the device ripple-add."""
     lut_lsb, luts_rest = add_scalar_luts(keys.params, i_bytes)
-    return add_scalar_device(keys, state, jnp.asarray(lut_lsb),
-                             jnp.asarray(luts_rest))
+    return add_scalar_device_jit(keys, jnp.asarray(state),
+                                 jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
+
+
+def ctr_step(keys: DeviceKeys, round_keys, enc_iv, lut_lsb, luts_rest):
+    """One fused CTR batch: broadcast IV -> ripple-add counters -> AES.
+
+    The whole step (16 ripple WoPBS + 10 AES rounds) is one XLA program;
+    jitted as ctr_step_jit this is the unit the bench and the sharded mesh
+    runner dispatch.  Batch size comes from the LUT stacks' leading axis.
+    """
+    B = lut_lsb.shape[0]
+    state = jnp.broadcast_to(enc_iv[None], (B,) + enc_iv.shape)
+    state = add_scalar_device(keys, state, lut_lsb, luts_rest)
+    return aes_encrypt(keys, round_keys, state)
+
+
+ctr_step_jit = jax.jit(ctr_step)
+aes_encrypt_jit = jax.jit(aes_encrypt)
+aes_decrypt_jit = jax.jit(aes_decrypt)
 
 
 def ctr_keystream(keys: DeviceKeys, round_keys, enc_iv, n_blocks: int,
@@ -247,10 +311,10 @@ def ctr_keystream(keys: DeviceKeys, round_keys, enc_iv, n_blocks: int,
     The CTR batch axis is the framework's data-parallel axis (main.rs:55-64's
     rayon loop, reborn as one device batch / shard_map axis).
     """
-    state = jnp.broadcast_to(enc_iv[None], (n_blocks,) + enc_iv.shape)
     i_bytes = counter_bytes(n_blocks, offset)
-    state = add_scalar(keys, state, i_bytes)
-    return aes_encrypt(keys, round_keys, state)
+    lut_lsb, luts_rest = add_scalar_luts(keys.params, i_bytes)
+    return ctr_step_jit(keys, round_keys, jnp.asarray(enc_iv),
+                        jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
 
 
 def counter_bytes(n_blocks: int, offset: int = 0) -> np.ndarray:

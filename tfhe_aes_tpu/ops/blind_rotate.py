@@ -21,18 +21,33 @@ U64 = jnp.uint64
 
 def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
                          ggsw_ntt_i32: jnp.ndarray, base_log: int,
-                         levels: int, fwd_limbs, inv_crt_limbs) -> jnp.ndarray:
-    """GGSW (NTT residues) x GLWE-delta (u64) -> GLWE (u64).
+                         levels: int, fwd_limbs, inv_crt_limbs, *,
+                         batched_ggsw: bool = False) -> jnp.ndarray:
+    """GGSW (NTT residues) x GLWE-delta (u64) -> GLWE (u64), on the MXU.
 
-    diff_u64: [..., k+1, N]; ggsw_ntt_i32: [P, ..., R, k+1, N] broadcastable
-    against the batch axes; returns [..., k+1, N].
+    diff_u64: [..., k+1, N].  ggsw_ntt_i32 is either one GGSW shared by the
+    whole batch, [P, R, k+1, N] (blind rotation: same BSK entry for every
+    accumulator), or per-batch with batched_ggsw=True, [P, B, R, k+1, N]
+    against diff [B, F..., k+1, N] (vertical packing: each byte's selector
+    bit, broadcast over its LUT/chunk axes).  Returns diff's shape.
     """
     digits = decompose.glwe_digits_flat(diff_u64, base_log, levels)
     if base_log <= 8:
         dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
     else:
         dhat = ntt.ntt_fwd_wide(plan, digits, fwd_limbs)
-    prod = ntt.pointwise_mac(plan, dhat, ggsw_ntt_i32)
+    P = dhat.shape[0]
+    lead = dhat.shape[1:-2]                       # diff's batch axes
+    r, n = dhat.shape[-2], dhat.shape[-1]
+    kp1 = ggsw_ntt_i32.shape[-2]
+    if batched_ggsw:
+        b = ggsw_ntt_i32.shape[1]
+        dh = dhat.reshape(P, b, -1, r, n)
+        prod = ntt.mac_batched(plan, dh, ggsw_ntt_i32)
+    else:
+        dh = dhat.reshape(P, -1, r, n)
+        prod = ntt.mac_shared(plan, dh, ggsw_ntt_i32)
+    prod = prod.reshape((P,) + lead + (kp1, n))
     return ntt.intt_crt_u64(plan, prod, inv_crt_limbs)
 
 
@@ -60,7 +75,7 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
         g = jax.lax.dynamic_index_in_dim(bsk_ntt, i, axis=0, keepdims=False)
         g = g.astype(jnp.int32)                      # [P, R, k+1, N]
         delta = external_product_ntt(
-            plan, diff, g[:, None], params.pbs_base_log, params.pbs_level,
+            plan, diff, g, params.pbs_base_log, params.pbs_level,
             fwd_limbs, inv_crt_limbs)
         return acc + delta
 

@@ -175,6 +175,84 @@ def ntt_fwd_residues(plan: NttPlan, res: jnp.ndarray,
     return jnp.stack(outs)
 
 
+def _prime_consts(plan: NttPlan, rank: int):
+    """Per-prime constant vectors shaped [P, 1, 1, ...] for broadcasting."""
+    sh = (plan.n_primes,) + (1,) * (rank - 1)
+    p = jnp.asarray(plan.p_i32).reshape(sh)
+    inv = jnp.asarray(plan.inv_f32).reshape(sh)
+    c16 = jnp.asarray(np.stack([
+        modular.host_balanced(1 << 16, int(q)) for q in plan.primes]
+    ).astype(np.int32)).reshape(sh)
+    return p, inv, c16
+
+
+def _combine_limb_dots(plan: NttPlan, s_ll, s_mid, s_hh) -> jnp.ndarray:
+    """Recombine limb-product dot sums: value = s_ll + 2^8 s_mid + 2^16 s_hh.
+
+    Each partial sum is < 2^20 (R <= 25 terms of int8 x int8 products), so
+    the shifted terms are reduced mod p BEFORE scaling — everything stays
+    int32-exact.  Returns balanced residues.
+    """
+    p, inv, c16 = _prime_consts(plan, s_ll.ndim)
+    r_mid = modular.barrett_reduce(s_mid, p, inv)
+    r_mid = modular.barrett_reduce(r_mid * 256, p, inv)
+    r_hh = modular.barrett_reduce(s_hh, p, inv)
+    r_hh = modular.barrett_reduce(r_hh * c16, p, inv)
+    return modular.barrett_reduce(s_ll + r_mid + r_hh, p, inv)
+
+
+def mac_shared(plan: NttPlan, dhat: jnp.ndarray,
+               ghat: jnp.ndarray) -> jnp.ndarray:
+    """out[p,m,j,n] = sum_r dhat[p,m,r,n] * ghat[p,r,j,n] (balanced mod p_k).
+
+    dhat: balanced int32 [P, M, R, N]; ghat: balanced int [P, R, J, N]
+    shared by every batch row m (the blind-rotate case: one BSK entry, many
+    accumulators).  The contraction runs on the MXU as four int8-limb
+    dot_generals batched over (prime, n) — this replaces the elementwise VPU
+    product storm that would otherwise dominate the whole bootstrap.
+    """
+    dl, dh = modular.to_balanced_limbs2(jnp.moveaxis(dhat, -1, 1))  # [P,N,M,R]
+    gl, gh = modular.to_balanced_limbs2(
+        jnp.moveaxis(ghat.astype(I32), -1, 1))                      # [P,N,R,J]
+    j = ghat.shape[-2]
+    gcat = jnp.concatenate([gl, gh], axis=-1)       # [P,N,R,2J]: K and J pad
+    dims = (((3,), (2,)), ((0, 1), (0, 1)))         # to the same MXU tile, so
+                                                    # 2 dots do the work of 4
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=I32)
+
+    s_lo = dot(dl, gcat)                            # [P,N,M,2J]
+    s_hi = dot(dh, gcat)
+    out = _combine_limb_dots(plan, s_lo[..., :j],
+                             s_lo[..., j:] + s_hi[..., :j], s_hi[..., j:])
+    return jnp.moveaxis(out, 1, -1)                                 # [P,M,J,N]
+
+
+def mac_batched(plan: NttPlan, dhat: jnp.ndarray,
+                ghat: jnp.ndarray) -> jnp.ndarray:
+    """out[p,b,f,j,n] = sum_r dhat[p,b,f,r,n] * ghat[p,b,r,j,n].
+
+    Per-batch GGSW (the vertical-packing case: each byte's selector bit acts
+    on its own accumulators, broadcast over the F = LUTs x chunks axis).
+    dhat [P, B, F, R, N]; ghat [P, B, R, J, N]; both balanced.
+    """
+    dl, dh = modular.to_balanced_limbs2(jnp.moveaxis(dhat, -1, 2))  # [P,B,N,F,R]
+    gl, gh = modular.to_balanced_limbs2(
+        jnp.moveaxis(ghat.astype(I32), -1, 2))                      # [P,B,N,R,J]
+    j = ghat.shape[-2]
+    gcat = jnp.concatenate([gl, gh], axis=-1)                       # [P,B,N,R,2J]
+    dims = (((4,), (3,)), ((0, 1, 2), (0, 1, 2)))
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=I32)
+
+    s_lo = dot(dl, gcat)                                            # [P,B,N,F,2J]
+    s_hi = dot(dh, gcat)
+    out = _combine_limb_dots(plan, s_lo[..., :j],
+                             s_lo[..., j:] + s_hi[..., :j], s_hi[..., j:])
+    return jnp.moveaxis(out, 2, -1)                                 # [P,B,F,J,N]
+
+
 def pointwise_mac(plan: NttPlan, dhat: jnp.ndarray,
                   ghat: jnp.ndarray) -> jnp.ndarray:
     """out[k,...,j,n] = sum_r dhat[k,...,r,n] * ghat[k,...,r,j,n]  (mod p_k).

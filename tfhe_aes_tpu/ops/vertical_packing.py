@@ -55,10 +55,10 @@ def vertical_packing(keys: DeviceKeys, ggsw_ntt: jnp.ndarray,
     def step(acc_flat, g_bit, rotated):
         """One CMux layer: acc <- acc + G x (rotated - acc)."""
         diff = rotated - acc_flat
-        # g_bit: [P, B, R2, k+1, N] -> broadcast over the L (and C) axes.
-        g = g_bit[:, :, None, None]
+        # g_bit: [P, B, R2, k+1, N] — per-byte GGSW, broadcast over L (and C).
         return acc_flat + blind_rotate.external_product_ntt(
-            plan, diff, g, p.cbs_base_log, p.cbs_level, fwd, inv_crt)
+            plan, diff, g_bit, p.cbs_base_log, p.cbs_level, fwd, inv_crt,
+            batched_ggsw=True)
 
     # CMux tree over high bits (MSB-most): halves the chunk axis per layer.
     for t in range(tree_bits):
@@ -69,8 +69,8 @@ def vertical_packing(keys: DeviceKeys, ggsw_ntt: jnp.ndarray,
     # Blind rotation over low bits: bit j selects rotation X^(-2^j).
     for j in range(n_rot):
         rot = lwe.neg_rotate_const(acc, 2 * n - (1 << j))
-        g = ggsw_ntt[j][:, :, None]                     # broadcast over L
         diff = rot - acc
         acc = acc + blind_rotate.external_product_ntt(
-            plan, diff, g, p.cbs_base_log, p.cbs_level, fwd, inv_crt)
+            plan, diff, ggsw_ntt[j], p.cbs_base_log, p.cbs_level, fwd,
+            inv_crt, batched_ggsw=True)
     return lwe.sample_extract0(acc)

@@ -50,11 +50,16 @@ def audit_decrypt(params: ParamSet) -> int:
 
 
 def audit_key_expansion(params: ParamSet) -> int:
-    # new_word = w[i-4] (level 1, refreshed) + temp (level 1 after SubWord
-    # or refresh; +1 when RCON is added: pk encryption counts as level 1).
-    temp_with_rcon = 1 + 1
-    new_word = 1 + temp_with_rcon
-    return new_word                      # refreshed immediately after
+    # TPU schedule (fhe_aes.aes_key_expansion): the first three words of a
+    # round chain unrefreshed before one batched identity WoPBS —
+    # n0 = w0 + SubWord + RCON, n1 = w1 + n0, n2 = w2 + n1 — then
+    # n3 = w3 + n2' from the refreshed n2.
+    temp_with_rcon = 1 + 1               # SubWord output + pk-encrypted RCON
+    n0 = 1 + temp_with_rcon              # 3
+    n1 = 1 + n0                          # 4
+    n2 = 1 + n1                          # 5 == budget, then refreshed
+    n3 = 1 + 1                           # w3 + refreshed n2
+    return max(n0, n1, n2, n3)
 
 
 def audit_all(params: ParamSet) -> dict[str, int]:
