@@ -97,5 +97,10 @@ def test_ctr_end_to_end(ctx):
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
     enc_iv = jnp.asarray(client.encrypt_u128(IV))
     rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key, rcon_cts)
-    ks = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 2))
-    client.decrypt_and_verify_ctr(ks, KEY, IV)
+    ks_dev = fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 2)
+    ks = np.asarray(ks_dev)
+    got_host = client.decrypt_and_verify_ctr(ks, KEY, IV)
+    # Device-resident decrypt path (used by bench/CLI to avoid pulling
+    # ciphertext batches over a slow device link) must agree bit-exactly.
+    got_dev = client.verify_ctr_device(ks_dev, KEY, IV)
+    assert got_dev == got_host

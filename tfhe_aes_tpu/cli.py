@@ -30,30 +30,110 @@ def _rcon_cts(client, pk):
     return pk.encrypt_bits(rcon_bits, client.rng)
 
 
+def run_test_harness(params, n_random: int, seed: int | None = None) -> None:
+    """The reference's hidden `test()` (main.rs:76-142): 4 NIST-style
+    vectors under key 2b7e...4f3c plus random key/plaintext cases; each
+    case runs key expansion -> encrypt -> decrypt round-trip -> verify
+    against plaintext AES (test_verify, client.rs:178-216).
+
+    TPU-shaped deviations (documented): one FHE keyset serves every case
+    (evaluation keys are independent of the AES inputs; the reference
+    regenerates them per case), and the four shared-key vectors run as ONE
+    batch of 4 states instead of four serial evaluations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    client = Client(params, seed=seed)
+    dkeys = client.make_device_keys()
+    pk = client.make_public_key()
+    rcon = jnp.asarray(_rcon_cts(client, pk))
+
+    def one_case(key: int, plains: list[int]) -> None:
+        enc_key = jnp.asarray(client.encrypt_u128(key))
+        rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key, rcon)
+        state = jnp.asarray(np.stack([client.encrypt_u128(p)
+                                      for p in plains]))
+        ct = fhe_aes.aes_encrypt_jit(dkeys, rks, state)
+        pt = np.asarray(fhe_aes.aes_decrypt_jit(dkeys, rks, ct))
+        ct = np.asarray(ct)
+        kb = aes_plain.u128_to_bytes_be(key)
+        for i, plain in enumerate(plains):
+            want = aes_plain.bytes_be_to_u128(aes_plain.encrypt_block(
+                kb, aes_plain.u128_to_bytes_be(plain)))
+            got_ct = client.decrypt_state_u128(ct[i])
+            got_pt = client.decrypt_state_u128(pt[i])
+            assert got_ct == want, (
+                f"key={key:#x} plain={plain:#x}: FHE ct {got_ct:#x} "
+                f"!= AES {want:#x}")
+            assert got_pt == plain, (
+                f"key={key:#x}: decrypt round-trip {got_pt:#x} "
+                f"!= {plain:#x}")
+            print(f"Passed test case. key={key:032x} plain={plain:032x}")
+
+    nist_key = 0x2B7E151628AED2A6ABF7158809CF4F3C
+    nist_plains = [0x6BC1BEE22E409F96E93D7E117393172A,
+                   0xAE2D8A571E03AC9C9EB76FAC45AF8E51,
+                   0x30C81C46A35CE411E5FBC1191A0A52EF,
+                   0xF69F2445DF4F9B17AD2B417BE66C3710]
+    one_case(nist_key, nist_plains)
+    rng = np.random.default_rng(seed)
+    for _ in range(n_random):
+        key = int.from_bytes(rng.bytes(16), "big")
+        plain = int.from_bytes(rng.bytes(16), "big")
+        one_case(key, [plain])
+    print(f"All {4 + n_random} test cases passed.")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="tfhe-aes-tpu",
         description="TPU-native fully homomorphic AES-128 CTR (WoPBS/TFHE)")
-    ap.add_argument("--number-of-outputs", type=int, required=True,
+    ap.add_argument("--number-of-outputs", type=int,
                     help="number of CTR keystream blocks")
-    ap.add_argument("--iv", type=lambda s: int(s, 0), required=True,
+    ap.add_argument("--iv", type=lambda s: int(s, 0),
                     help="u128 initialization vector / counter start")
-    ap.add_argument("--key", type=lambda s: int(s, 0), required=True,
+    ap.add_argument("--key", type=lambda s: int(s, 0),
                     help="u128 AES key")
+    ap.add_argument("--test", action="store_true",
+                    help="run the reference's hidden test harness "
+                         "(NIST vectors + random encrypt/decrypt "
+                         "round-trips, main.rs:76-142) and exit")
+    ap.add_argument("--test-random", type=int, default=10,
+                    help="number of random cases for --test")
     ap.add_argument("--params", choices=["prod", "toy"], default="prod")
     ap.add_argument("--seed", type=int, default=None,
                     help="client RNG seed (default: OS entropy)")
     ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument("--host-verify", action="store_true",
+                    help="pull ciphertexts to host for verification instead "
+                         "of decrypting on-device (slow over a TPU tunnel)")
     ap.add_argument("--decrypt", action="store_true",
                     help="also run homomorphic decryption round-trip")
     ap.add_argument("--no-cache", action="store_true",
                     help="do not cache/load evaluation keys")
+    ap.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                    default="auto",
+                    help="force the JAX backend (auto = whatever the "
+                         "environment provides; cpu is right for --params "
+                         "toy when a slow tunneled TPU is the default)")
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_enable_x64", True)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        jax.config.update("jax_platforms", "axon,tpu")
 
     params = PARAM_OPT if args.params == "prod" else PARAM_TOY
+
+    if args.test:
+        run_test_harness(params, args.test_random, seed=args.seed)
+        return 0
+    if None in (args.number_of_outputs, args.iv, args.key):
+        ap.error("--number-of-outputs, --iv and --key are required "
+                 "(or pass --test)")
     print(f"[client] parameters: {params.name}  "
           f"(n={params.lwe_dimension}, k={params.glwe_dimension}, "
           f"N={params.polynomial_size})")
@@ -98,7 +178,11 @@ def main(argv=None) -> int:
           f"({n / t_ctr * 60:.2f} blocks/min)")
 
     if not args.no_verify:
-        got = client.decrypt_and_verify_ctr(np.asarray(ks), args.key, args.iv)
+        if args.host_verify:
+            got = client.decrypt_and_verify_ctr(np.asarray(ks), args.key,
+                                                args.iv)
+        else:
+            got = client.verify_ctr_device(ks, args.key, args.iv)
         print(f"[client] verified {n} blocks bit-exact vs plaintext AES")
         print(f"[client] first block: {got[0]:#034x}")
 

@@ -99,3 +99,41 @@ class Client:
         for i, (g, w) in enumerate(zip(got, want)):
             assert g == w, (f"CTR block {i}: FHE {g:#034x} != plain {w:#034x}")
         return got
+
+    # -- device-side decryption (bench / verification convenience) ----------
+    def decrypt_bits_device(self, states) -> np.ndarray:
+        """Decrypt on the accelerator; transfer only plaintext bits.
+
+        LWE phase b - <a,s> is one u64 dot product — running it where the
+        ciphertexts already live avoids a multi-MB device->host transfer per
+        verification (the tunnel to the chip is slow).  Bench-only shortcut:
+        in a real deployment the secret key never leaves the client.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        # numpy (not device) constant: lowering embeds it directly instead
+        # of pulling a device buffer back to host mid-trace.
+        sk = np.asarray(self.sk.big_lwe_key, dtype=np.uint64)
+
+        @jax.jit
+        def dec(cts):
+            ph = cts[..., -1] - jnp.sum(cts[..., :-1] * jnp.asarray(sk),
+                                        axis=-1, dtype=jnp.uint64)
+            return ((ph + jnp.uint64(1 << 62)) >> jnp.uint64(63)) \
+                & jnp.uint64(1)
+
+        return np.asarray(jax.device_get(dec(states)))
+
+    def verify_ctr_device(self, states, key: int, iv: int) -> list[int]:
+        """Device-resident states [n,16,8,big+1] -> verify vs plaintext AES
+        without moving ciphertexts off the chip."""
+        bits = self.decrypt_bits_device(states).astype(np.int64)  # [n,16,8]
+        n = bits.shape[0]
+        want = aes_plain.ctr_keystream(key, iv, n)
+        byts = (bits << np.arange(8)).sum(axis=-1)                # [n,16]
+        got = [aes_plain.bytes_be_to_u128([int(b) for b in byts[i]])
+               for i in range(n)]
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == w, (f"CTR block {i}: FHE {g:#034x} != plain {w:#034x}")
+        return got
