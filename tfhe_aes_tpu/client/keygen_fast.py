@@ -144,4 +144,5 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
         pfpksk_limbs=keys_mod.pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
         inv_crt_limbs=plan.inv_crt_limbs,
+        rot_table=plan.rot_table,
     )

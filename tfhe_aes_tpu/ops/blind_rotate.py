@@ -53,11 +53,27 @@ def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
 
 def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
                  lwe_u64: jnp.ndarray, test_glwe_u64: jnp.ndarray,
-                 fwd_limbs: jnp.ndarray, inv_crt_limbs: jnp.ndarray
-                 ) -> jnp.ndarray:
+                 fwd_limbs: jnp.ndarray, inv_crt_limbs: jnp.ndarray,
+                 rot_table: jnp.ndarray) -> jnp.ndarray:
     """lwe_u64: [B, n+1]; test_glwe_u64: [k+1, N] or [B, k+1, N].
 
     Returns acc [B, k+1, N] u64 encrypting X^(-phase~) * test.
+
+    CMux formulation (TPU-specific): instead of decomposing the rotated
+    difference  G^-1(X^a * acc - acc)  — whose per-element coefficient-domain
+    gather dominated the whole bootstrap on TPU — each step computes
+
+        acc += (X^a - 1) * (G^-1(acc) (x) BSK_i)
+
+    Rotation commutes with the external product, so the monomial factor is
+    applied AFTER the MAC, in the NTT domain, as a pointwise multiply by
+    psi^(a*(2j+1)) (plan.rot_table): one contiguous row-gather + VPU multiply
+    on the small [P, B, k+1, N] product tensor.  Functionally identical to
+    the classic CMux (golden model nb.blind_rotate); the only difference is
+    the noise term: the BSK noise enters as (X^a - 1)*E — variance 2x per
+    step — which is far below the f64-FFT rounding noise the reference's
+    parameter optimization already budgets for (its tfhe-fft c64 path,
+    many_wopbs.rs:263) and which our exact NTT eliminates.
     """
     n_poly = params.polynomial_size
     two_n = 2 * n_poly
@@ -67,16 +83,18 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
         test_glwe_u64 = jnp.broadcast_to(
             test_glwe_u64[None], (lwe_u64.shape[0],) + test_glwe_u64.shape)
     acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
+    base_log, levels = params.pbs_base_log, params.pbs_level
+    p_c, inv_c, _ = ntt._prime_consts(plan, 4)       # [P,1,1,1] broadcasts
 
     def body(i, acc):
-        a_i = tilde[:, i]                            # [B]
-        rot = lwe.neg_rotate(acc, a_i[:, None])      # [B, k+1, N]
-        diff = rot - acc
+        digits = decompose.glwe_digits_flat(acc, base_log, levels)
+        dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
         g = jax.lax.dynamic_index_in_dim(bsk_ntt, i, axis=0, keepdims=False)
-        g = g.astype(jnp.int32)                      # [P, R, k+1, N]
-        delta = external_product_ntt(
-            plan, diff, g, params.pbs_base_log, params.pbs_level,
-            fwd_limbs, inv_crt_limbs)
+        prod = ntt.mac_shared(plan, dhat, g.astype(jnp.int32))
+        a_i = tilde[:, i]                            # [B]
+        tw = jnp.take(rot_table, a_i, axis=1)        # [P, B, N] row gather
+        delta_hat = ntt.barrett_rotate_delta(plan, prod, tw, p_c, inv_c)
+        delta = ntt.intt_crt_u64(plan, delta_hat, inv_crt_limbs)
         return acc + delta
 
     return jax.lax.fori_loop(0, params.lwe_dimension, body, acc0)

@@ -41,6 +41,7 @@ class DeviceKeys:
     pfpksk_limbs: jax.Array | np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)^2*N*8]
     fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]
     inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]
+    rot_table: jax.Array | np.ndarray     # int32 [P, 2N, N] twiddle powers
 
 
 def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray) -> np.ndarray:
@@ -111,4 +112,5 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         pfpksk_limbs=pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
         inv_crt_limbs=plan.inv_crt_limbs,
+        rot_table=plan.rot_table,
     )

@@ -74,10 +74,32 @@ class NttPlan:
     fp: np.ndarray               # int64 [P]    floor(2^40 / p_k)
     fp_shift: int
     pow2_8i: np.ndarray          # int32 [P, 8] balanced (2^(8i) mod p_k)
+    rot_table: np.ndarray        # int32 [P, 2N, N] balanced psi^(a*(2j+1))
 
     @property
     def n_primes(self) -> int:
         return len(self.primes)
+
+
+def _host_rot_table(primes, n: int) -> np.ndarray:
+    """rot_table[p, a, j] = balanced(psi^(a*(2j+1)) mod p), a in [0, 2N).
+
+    In the negacyclic NTT (evaluation at x_j = psi^(2j+1)) multiplication by
+    the monomial X^a is the pointwise multiply by x_j^a — so a blind-rotate
+    CMux rotation becomes one row-gather from this table plus a VPU multiply,
+    instead of a per-element coefficient-domain gather (the op that dominated
+    the un-twiddled bootstrap on TPU).
+    """
+    j = np.arange(n, dtype=np.int64)
+    a = np.arange(2 * n, dtype=np.int64)[:, None]
+    e = (a * (2 * j + 1)) % (2 * n)                       # [2N, N]
+    out = []
+    for p in primes:
+        psi = crt.root_of_unity(p, 2 * n)
+        pows = np.array([pow(psi, int(t), p) for t in range(2 * n)],
+                        dtype=np.int64)
+        out.append(modular.host_balanced(pows[e], p))
+    return np.stack(out).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,6 +123,7 @@ def make_plan(n: int, primes: tuple[int, ...] | None = None) -> NttPlan:
         fp=cst["fp"],
         fp_shift=cst["fp_shift"],
         pow2_8i=pow2,
+        rot_table=_host_rot_table(primes, n),
     )
 
 
@@ -268,6 +291,17 @@ def pointwise_mac(plan: NttPlan, dhat: jnp.ndarray,
         s = t.sum(axis=-3, dtype=I32)
         outs.append(modular.barrett_reduce(s, p, ip))
     return jnp.stack(outs)
+
+
+def barrett_rotate_delta(plan: NttPlan, prod: jnp.ndarray, tw: jnp.ndarray,
+                         p_c, inv_c) -> jnp.ndarray:
+    """(X^a - 1) * prod in the NTT domain: balanced((tw - 1) . prod).
+
+    prod: balanced int32 [P, B, J, N] (|.| <= p/2); tw: balanced twiddle rows
+    [P, B, N].  |tw*prod - prod| <= p^2/4 + p/2 < 2^30 -> one Barrett.
+    """
+    t = tw[:, :, None, :] * prod - prod
+    return modular.barrett_reduce(t, p_c, inv_c)
 
 
 def intt_crt_u64(plan: NttPlan, res: jnp.ndarray,

@@ -57,5 +57,6 @@ def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
         pfpksk_limbs=np.asarray(z["pfpksk_limbs"]),
         fwd_limbs=plan.fwd_limbs,
         inv_crt_limbs=plan.inv_crt_limbs,
+        rot_table=plan.rot_table,
     )
     return sk, dkeys
