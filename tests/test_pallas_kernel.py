@@ -1,0 +1,69 @@
+"""Fused Pallas blind-rotate kernel vs the XLA fallback — bit-exact.
+
+Both paths implement the same math on the same key material (see
+ops/blind_rotate.py); the Pallas kernel runs here in interpret mode (CPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfhe_aes_tpu.params import PARAM_TOY
+from tfhe_aes_tpu.backend import numpy_backend as nb
+from tfhe_aes_tpu.client.client import Client
+from tfhe_aes_tpu.ops import blind_rotate, pallas_blind_rotate
+from tfhe_aes_tpu.utils import torus
+
+U64 = np.uint64
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    client = Client(PARAM_TOY, seed=11)
+    dkeys = client.make_device_keys()
+    return client, dkeys
+
+
+def _inputs(client, n_batch):
+    p = client.params
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, n_batch).astype(np.uint64)
+    small = nb.lwe_encrypt(client.sk.lwe_key, bits << U64(63),
+                           p.lwe_noise_std, client.rng)
+    test = np.zeros((p.glwe_dimension + 1, p.polynomial_size), np.uint64)
+    test[-1, :] = U64(1) << U64(60)
+    return bits, jnp.asarray(small), jnp.asarray(test)
+
+
+@pytest.mark.parametrize("n_batch", [1, 3, 8])
+def test_pallas_matches_xla(ctx, n_batch):
+    client, dkeys = ctx
+    p = client.params
+    bits, small, test = _inputs(client, n_batch)
+
+    want = jax.jit(blind_rotate.blind_rotate, static_argnums=(0, 1))(
+        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.fwd_limbs), jnp.asarray(dkeys.fwd_full),
+        jnp.asarray(dkeys.inv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table))
+    got = pallas_blind_rotate.blind_rotate_pallas(
+        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.fwd_full), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table), interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_pbs_decrypts(ctx, monkeypatch):
+    """pbs_boolean through the interpreted Pallas kernel decrypts right."""
+    monkeypatch.setenv("TFHE_AES_TPU_BLIND_ROTATE", "interpret")
+    from tfhe_aes_tpu.ops import cbs
+    client, dkeys = ctx
+    p = client.params
+    bits = np.array([0, 1, 1, 0], dtype=np.uint64)
+    small = nb.lwe_encrypt(client.sk.lwe_key, bits << U64(63),
+                           p.lwe_noise_std, client.rng)
+    out = np.asarray(cbs.pbs_boolean(dkeys, jnp.asarray(small), 60))
+    ph = nb.lwe_phase(client.sk.big_lwe_key, out)
+    assert torus.torus_close(ph, bits << U64(60), 54)

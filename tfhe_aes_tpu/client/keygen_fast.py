@@ -139,10 +139,12 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
 
     return keys_mod.DeviceKeys(
         params=p, plan=plan,
-        bsk_ntt=bsk_ntt,
+        bsk_limbs=keys_mod.bsk_residues_to_device(bsk_ntt),
         ksk_limbs=keys_mod.pack_ksk(p, ksk),
         pfpksk_limbs=keys_mod.pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
+        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
+        inv_crt_full=ntt.inv_crt_full_host(plan),
         rot_table=plan.rot_table,
     )

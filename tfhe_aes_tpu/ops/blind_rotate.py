@@ -5,30 +5,63 @@ Computes, for a batch of LWE ciphertexts, the classic TFHE accumulator loop
 external product expressed as int8 MXU matmuls (ops/ntt.py).  The batch axis
 is the whole design: the reference bootstraps the 128 state bits of an AES
 round one at a time on CPU threads (SURVEY.md 3.2); here they ride one fused
-batch through 669 sequential CMux steps.
+batch through the n sequential CMux steps.
+
+Two TPU-specific reformulations (both exact-by-construction; decryption is
+verified bit-exact against the plaintext oracle):
+
+1. Rotation as post-MAC NTT twiddles.  Instead of decomposing the rotated
+   difference  G^-1(X^a * acc - acc)  — whose per-element coefficient-domain
+   gather dominated the whole bootstrap on TPU — each step computes
+
+       acc += (X^a - 1) * (G^-1(acc) (x) BSK_i)
+
+   Rotation commutes with the external product, so the monomial is applied
+   AFTER the MAC, in the NTT domain, as a pointwise multiply by
+   psi^(a*(2j+1)) (plan.rot_table).  Functionally identical to the classic
+   CMux (golden model nb.blind_rotate); the only difference is the noise
+   term: the BSK noise enters as (X^a - 1)*E — variance 2x per step — far
+   below the f64-FFT rounding noise the reference's parameter optimization
+   already budgets for (its tfhe-fft c64 path, many_wopbs.rs:263) and which
+   our exact NTT eliminates.
+
+2. On TPU the whole CMux step runs as ONE fused Pallas kernel
+   (ops/pallas_blind_rotate.py) — decompose, NTT dots, MAC, twiddle, INTT,
+   CRT and the u64 accumulate never leave VMEM.  Elsewhere (CPU tests,
+   virtual multi-chip meshes) an equivalent XLA op pipeline runs the same
+   math on the same key layout.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 from ..params import ParamSet
-from . import decompose, lwe, ntt
+from . import decompose, lwe, modular, ntt
+from . import pallas_blind_rotate as pbr
 
 U64 = jnp.uint64
 
 
+def _pallas_mode() -> str:
+    """'pallas' | 'interpret' | 'xla' (env TFHE_AES_TPU_BLIND_ROTATE)."""
+    force = os.environ.get("TFHE_AES_TPU_BLIND_ROTATE", "auto")
+    if force in ("pallas", "interpret", "xla"):
+        return force
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
                          ggsw_ntt_i32: jnp.ndarray, base_log: int,
-                         levels: int, fwd_limbs, inv_crt_limbs, *,
-                         batched_ggsw: bool = False) -> jnp.ndarray:
+                         levels: int, fwd_limbs, inv_crt_limbs
+                         ) -> jnp.ndarray:
     """GGSW (NTT residues) x GLWE-delta (u64) -> GLWE (u64), on the MXU.
 
-    diff_u64: [..., k+1, N].  ggsw_ntt_i32 is either one GGSW shared by the
-    whole batch, [P, R, k+1, N] (blind rotation: same BSK entry for every
-    accumulator), or per-batch with batched_ggsw=True, [P, B, R, k+1, N]
-    against diff [B, F..., k+1, N] (vertical packing: each byte's selector
+    diff_u64: [B, F..., k+1, N] against per-batch GGSW
+    ggsw_ntt_i32 [P, B, R, k+1, N] (vertical packing: each byte's selector
     bit, broadcast over its LUT/chunk axes).  Returns diff's shape.
     """
     digits = decompose.glwe_digits_flat(diff_u64, base_log, levels)
@@ -39,44 +72,32 @@ def external_product_ntt(plan: ntt.NttPlan, diff_u64: jnp.ndarray,
     P = dhat.shape[0]
     lead = dhat.shape[1:-2]                       # diff's batch axes
     r, n = dhat.shape[-2], dhat.shape[-1]
+    b = ggsw_ntt_i32.shape[1]
+    dh = dhat.reshape(P, b, -1, r, n)
+    prod = ntt.mac_batched(plan, dh, ggsw_ntt_i32)
     kp1 = ggsw_ntt_i32.shape[-2]
-    if batched_ggsw:
-        b = ggsw_ntt_i32.shape[1]
-        dh = dhat.reshape(P, b, -1, r, n)
-        prod = ntt.mac_batched(plan, dh, ggsw_ntt_i32)
-    else:
-        dh = dhat.reshape(P, -1, r, n)
-        prod = ntt.mac_shared(plan, dh, ggsw_ntt_i32)
     prod = prod.reshape((P,) + lead + (kp1, n))
     return ntt.intt_crt_u64(plan, prod, inv_crt_limbs)
 
 
-def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
+def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
                  lwe_u64: jnp.ndarray, test_glwe_u64: jnp.ndarray,
-                 fwd_limbs: jnp.ndarray, inv_crt_limbs: jnp.ndarray,
+                 fwd_limbs: jnp.ndarray, fwd_full: jnp.ndarray,
+                 inv_crt_limbs: jnp.ndarray, inv_crt_full: jnp.ndarray,
                  rot_table: jnp.ndarray) -> jnp.ndarray:
     """lwe_u64: [B, n+1]; test_glwe_u64: [k+1, N] or [B, k+1, N].
 
     Returns acc [B, k+1, N] u64 encrypting X^(-phase~) * test.
-
-    CMux formulation (TPU-specific): instead of decomposing the rotated
-    difference  G^-1(X^a * acc - acc)  — whose per-element coefficient-domain
-    gather dominated the whole bootstrap on TPU — each step computes
-
-        acc += (X^a - 1) * (G^-1(acc) (x) BSK_i)
-
-    Rotation commutes with the external product, so the monomial factor is
-    applied AFTER the MAC, in the NTT domain, as a pointwise multiply by
-    psi^(a*(2j+1)) (plan.rot_table): one contiguous row-gather + VPU multiply
-    on the small [P, B, k+1, N] product tensor.  Functionally identical to
-    the classic CMux (golden model nb.blind_rotate); the only difference is
-    the noise term: the BSK noise enters as (X^a - 1)*E — variance 2x per
-    step — which is far below the f64-FFT rounding noise the reference's
-    parameter optimization already budgets for (its tfhe-fft c64 path,
-    many_wopbs.rs:263) and which our exact NTT eliminates.
     """
+    mode = _pallas_mode()
+    if mode != "xla":
+        return pbr.blind_rotate_pallas(
+            plan, params, bsk_limbs, lwe_u64, test_glwe_u64, fwd_full,
+            inv_crt_full, rot_table, interpret=(mode == "interpret"))
+
     n_poly = params.polynomial_size
     two_n = 2 * n_poly
+    kp1 = params.glwe_dimension + 1
     tilde = lwe.modswitch(lwe_u64, two_n)            # [B, n+1] int32
     b_t = tilde[:, -1]
     if test_glwe_u64.ndim == 2:
@@ -89,8 +110,10 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_ntt: jnp.ndarray,
     def body(i, acc):
         digits = decompose.glwe_digits_flat(acc, base_log, levels)
         dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
-        g = jax.lax.dynamic_index_in_dim(bsk_ntt, i, axis=0, keepdims=False)
-        prod = ntt.mac_shared(plan, dhat, g.astype(jnp.int32))
+        dl, dh = modular.to_balanced_limbs2(dhat)    # [P, B, R, N] int8
+        g = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
+                                         keepdims=False)   # [P, R*2J, N]
+        prod = ntt.mac_rows(plan, dl, dh, g, kp1)    # [P, B, J, N]
         a_i = tilde[:, i]                            # [B]
         tw = jnp.take(rot_table, a_i, axis=1)        # [P, B, N] row gather
         delta_hat = ntt.barrett_rotate_delta(plan, prod, tw, p_c, inv_c)

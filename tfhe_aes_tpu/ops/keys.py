@@ -36,11 +36,13 @@ class DeviceKeys:
     jitted kernels (never baked constants), params/plan are static metadata."""
     params: ParamSet = dataclasses.field(metadata=dict(static=True))
     plan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
-    bsk_ntt: jax.Array | np.ndarray       # int16 [n, P, R, k+1, N]
+    bsk_limbs: jax.Array | np.ndarray     # int8  [n, P, R*2(k+1), N] limb rows
     ksk_limbs: jax.Array | np.ndarray     # int8  [big*ks_lev, (n+1)*8]
     pfpksk_limbs: jax.Array | np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)^2*N*8]
     fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]
+    fwd_full: jax.Array | np.ndarray      # int8  [P, N, 2N] digit-NTT mats
     inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]
+    inv_crt_full: jax.Array | np.ndarray  # int8  [P, 2N, 2N] block INTT mats
     rot_table: jax.Array | np.ndarray     # int32 [P, 2N, N] twiddle powers
 
 
@@ -65,13 +67,33 @@ def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray) -> np.ndarray:
 
 def pack_bsk(params: ParamSet, plan: ntt.NttPlan,
              bsk_u64: np.ndarray) -> np.ndarray:
-    """Golden BSK [n, lev, k+1(row u), k+1(col j), N] -> NTT int16 layout."""
+    """Golden BSK [n, lev, k+1(row u), k+1(col j), N] -> NTT int16 layout.
+
+    [n, P, R, k+1, N] int16 balanced residues — the SERIALIZATION format;
+    bsk_residues_to_device converts to the device operand layout.
+    """
     n_lwe, lev, kp1, _, n = bsk_u64.shape
     # row-major R = u*lev + l
     rows = bsk_u64.transpose(0, 2, 1, 3, 4).reshape(n_lwe, kp1 * lev, kp1, n)
     res = poly_to_ntt_residues_host(plan.primes, rows)  # [P, n, R, k+1, N]
     out = res.transpose(1, 0, 2, 3, 4).astype(np.int16)
     return np.ascontiguousarray(out)
+
+
+def bsk_residues_to_device(res16: np.ndarray) -> np.ndarray:
+    """[n, P, R, k+1, N] int16 residues -> [n, P, R*2(k+1), N] int8 limbs.
+
+    Row r*2(k+1) + j holds output-component j's lo limb for j < k+1 and
+    component (j - (k+1))'s hi limb otherwise — the exact row order the
+    blind-rotate MAC consumes (Pallas kernel and ntt.mac_rows alike), so the
+    per-step key slice needs zero reshuffling on device.
+    """
+    n_lwe, pcount, r_rows, kp1, n = res16.shape
+    limbs = modular.host_balanced_limbs2(res16.astype(np.int64))
+    lo, hi = limbs[..., 0], limbs[..., 1]              # [n,P,R,k+1,N]
+    cat = np.concatenate([lo, hi], axis=3)             # [n,P,R,2(k+1),N]
+    return np.ascontiguousarray(
+        cat.reshape(n_lwe, pcount, r_rows * 2 * kp1, n))
 
 
 def pack_ksk(params: ParamSet, ksk_u64: np.ndarray) -> np.ndarray:
@@ -107,10 +129,12 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
     return DeviceKeys(
         params=p,
         plan=plan,
-        bsk_ntt=pack_bsk(p, plan, bsk),
+        bsk_limbs=bsk_residues_to_device(pack_bsk(p, plan, bsk)),
         ksk_limbs=pack_ksk(p, ksk),
         pfpksk_limbs=pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
+        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
+        inv_crt_full=ntt.inv_crt_full_host(plan),
         rot_table=plan.rot_table,
     )

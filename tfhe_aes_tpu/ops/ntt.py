@@ -293,6 +293,67 @@ def pointwise_mac(plan: NttPlan, dhat: jnp.ndarray,
     return jnp.stack(outs)
 
 
+# ---------------------------------------------------------------------------
+# Coefficient-major ("cm") pipeline: the blind-rotate hot loop.
+#
+# Working layout [N, B, ...]: the polynomial-coefficient axis LEADS, so the
+# forward/inverse transforms are dot_generals contracting that axis directly
+# and the NTT-domain MAC is a batched matmul over (prime, n) — no moveaxis
+# anywhere in the loop.  The [.., M, R, N] <-> [.., N, M, R] relayouts of the
+# generic path materialize minor-to-major transposes of hundreds of MB per
+# CMux step, which dominated wall time and blew HBM at batch >= 2K bits.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def inv_crt_full_host(plan: NttPlan) -> np.ndarray:
+    """Block matrices [P, 2N, 2N] int8 for the one-dot-per-prime INTT.
+
+    x @ M orientation: row blocks = input limbs (the 2^8 scale of the hi limb
+    is folded into the matrix), column blocks = output 8-bit limbs of the
+    balanced result; built from plan.inv_crt_limbs [P, in, out, N, N].
+    """
+    m = plan.inv_crt_limbs
+    top = np.concatenate([m[:, 0, 0], m[:, 0, 1]], axis=2)   # [P, N, 2N]
+    bot = np.concatenate([m[:, 1, 0], m[:, 1, 1]], axis=2)
+    return np.ascontiguousarray(np.concatenate([top, bot], axis=1))
+
+
+@functools.lru_cache(maxsize=None)
+def fwd_full_host(plan: NttPlan) -> np.ndarray:
+    """Forward digit-NTT matrices [P, N, 2N] int8, x @ M orientation.
+
+    Column blocks = the two output 8-bit limbs of the balanced residues
+    (single int8 input limb — gadget digits).  The operand layout of the
+    fused blind-rotate kernel's first MXU dot.
+    """
+    m = plan.fwd_limbs
+    return np.ascontiguousarray(np.concatenate([m[:, 0, 0], m[:, 0, 1]],
+                                               axis=2))
+
+
+def mac_rows(plan: NttPlan, dl: jnp.ndarray, dh: jnp.ndarray,
+             g_rows: jnp.ndarray, j_out: int) -> jnp.ndarray:
+    """NTT-domain external-product MAC against row-major key limbs.
+
+    dl, dh: int8 [P, B, R, N] (dhat limbs); g_rows: int8 [P, R*2J, N]
+    (bsk_limbs step slice: row r*2J + j, j < J lo / j >= J hi limb);
+    j_out = J = k+1.  Returns balanced int32 [P, B, J, N].  XLA fallback
+    path of the fused Pallas kernel — contraction over r batched over
+    (prime, n) via einsum/dot_general.
+    """
+    pcount, rr2j, n = g_rows.shape
+    g = g_rows.reshape(pcount, rr2j // (2 * j_out), 2 * j_out, n)
+
+    def mac(d):
+        return jnp.einsum("pbrn,prjn->pbjn", d, g,
+                          preferred_element_type=I32)
+
+    s_lo, s_hi = mac(dl), mac(dh)
+    return _combine_limb_dots(plan, s_lo[..., :j_out, :],
+                              s_lo[..., j_out:, :] + s_hi[..., :j_out, :],
+                              s_hi[..., j_out:, :])
+
+
 def barrett_rotate_delta(plan: NttPlan, prod: jnp.ndarray, tw: jnp.ndarray,
                          p_c, inv_c) -> jnp.ndarray:
     """(X^a - 1) * prod in the NTT domain: balanced((tw - 1) . prod).

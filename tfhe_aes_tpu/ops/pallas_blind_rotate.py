@@ -1,0 +1,351 @@
+"""Fused Pallas CMux step — the blind-rotate hot loop as ONE TPU kernel.
+
+Replaces the XLA op chain (gadget decompose -> forward NTT -> external-
+product MAC -> twiddle rotation -> inverse NTT -> explicit CRT -> u64
+accumulate) whose HBM-materialized intermediates (layout copies, Barrett
+passes, emulated-u64 chains) dominated wall time: profiled on a v5e, the
+per-op XLA pipeline spent ~70% of device time on copies and element-wise
+fusions between dots.  Here everything between the accumulator load and
+store lives in VMEM/registers.
+
+Per grid cell (batch_tile, prime) — primes innermost so per-tile state
+(gadget digits, CRT accumulators) persists in scratch across the prime loop:
+
+    k == 0:  decompose the u64 accumulator tile (kept as two u32 planes —
+             Mosaic has no 64-bit ints) into balanced int8 gadget digits
+    all k:   digits @ fwd_full[k]   (MXU int8 dot, both residue limbs)
+             -> Barrett -> int8 limb pair
+             MAC against the step's BSK row block (VPU, r-unrolled)
+             twiddle (psi^(a(2j+1)) - 1) multiply      [rotation, SURVEY 3.2]
+             limb split -> @ inv_crt_full[k] (MXU) -> Barrett -> canonical
+             CRT accumulate: u64 += y * (M/p_k mod 2^64) via 8-bit limb
+             products and explicit u32 carry chains
+    k == P-1: alpha = round(sum y_k/p_k) correction, acc += delta, store.
+
+Reference counterpart: the fft64 bootstrap loop inside tfhe-rs
+(invoked at /root/reference/src/server/sbox/many_wopbs.rs:253-264); the
+rotation-as-twiddle formulation is documented in ops/blind_rotate.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import ParamSet
+from . import ntt
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _u32c(x):
+    return jnp.uint32(x)
+
+
+def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
+    """Build the kernel fn + specs for one (params, plan, tile) signature."""
+    n = params.polynomial_size
+    kp1 = params.glwe_dimension + 1
+    lev = params.pbs_level
+    blog = params.pbs_base_log
+    r_rows = kp1 * lev
+    pcount = plan.n_primes
+    shift = 64 - blog * lev
+    assert blog <= 8 and blog * lev <= 40 and shift >= 24 or shift == 32, (
+        "kernel supports base_log <= 8, <= 40 digit bits")
+    half_b = 1 << (blog - 1)
+
+    def kernel(consts_ref, m64b_ref, invp_ref,
+               acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
+               out_hi_ref, out_lo_ref,
+               digits, dl, dh, s_ll, s_mid, s_hh, x8, acc64_hi,
+               acc64_lo, alpha):
+        k = pl.program_id(1)
+        p = consts_ref[k, 0]
+        c16 = consts_ref[k, 1]
+        fp24 = consts_ref[k, 2]
+        inv_p = invp_ref[k, 0]
+
+        def barrett(t):
+            q = jnp.round(t.astype(jnp.float32) * inv_p).astype(I32)
+            r = t - q * p
+            half = (p - 1) >> 1   # // 2 strongly promotes to i64 under x64
+            r = jnp.where(r > half, r - p, r)
+            return jnp.where(r < -half, r + p, r)
+
+        # -- k == 0: decompose the accumulator tile into gadget digits ------
+        @pl.when(k == 0)
+        def _decompose():
+            for u in range(kp1):
+                hi = acc_hi_ref[u].astype(U32)               # [TB, N]
+                lo = acc_lo_ref[u].astype(U32)
+                lo1 = lo + _u32c(1 << (shift - 1))
+                hi1 = hi + jnp.where(lo1 < lo, _u32c(1), _u32c(0))
+                if shift == 32:
+                    vlo = hi1
+                    vhi = jnp.zeros_like(hi1)
+                else:
+                    vlo = (hi1 << _u32c(32 - shift)) | (lo1 >> _u32c(shift))
+                    vhi = hi1 >> _u32c(shift)
+                carry = jnp.zeros_like(vlo)
+                for l in range(lev - 1, -1, -1):
+                    sh = blog * (lev - 1 - l)
+                    if sh < 32:
+                        raw = (vlo >> _u32c(sh)) & _u32c((1 << blog) - 1)
+                        if sh + blog > 32:
+                            raw = raw | ((vhi << _u32c(32 - sh))
+                                         & _u32c((1 << blog) - 1))
+                    else:
+                        raw = (vhi >> _u32c(sh - 32)) & _u32c((1 << blog) - 1)
+                    t = raw + carry
+                    carry = jnp.where(t >= _u32c(half_b), _u32c(1), _u32c(0))
+                    d = t.astype(I32) - (carry.astype(I32)
+                                         << jnp.int32(blog))
+                    digits[u * lev + l] = d.astype(jnp.int8)
+
+            acc64_hi[...] = jnp.zeros_like(acc64_hi)
+            acc64_lo[...] = jnp.zeros_like(acc64_lo)
+            alpha[...] = jnp.zeros_like(alpha)
+
+        # -- forward NTT: digits @ fwd_full[k] (both output limbs) ----------
+        # chunk over the R axis to bound the int32 dot output in VMEM.
+        for u in range(kp1):
+            block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
+            out = jax.lax.dot_general(
+                block, wf_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)                  # [lev*TB, 2N]
+            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
+            h8 = (t + jnp.int32(128)) >> jnp.int32(8)
+            l8 = t - (h8 << jnp.int32(8))
+            dl[u * lev:(u + 1) * lev] = l8.astype(jnp.int8).reshape(
+                lev, tb, n)
+            dh[u * lev:(u + 1) * lev] = h8.astype(jnp.int8).reshape(
+                lev, tb, n)
+
+        # -- MAC: s += dhat_limb * g_limb, contraction over the R rows ------
+        s_ll[...] = jnp.zeros_like(s_ll)
+        s_mid[...] = jnp.zeros_like(s_mid)
+        s_hh[...] = jnp.zeros_like(s_hh)
+
+        # Static unroll over the R gadget rows: Mosaic needs provably
+        # 8-aligned sublane offsets, which constant indices satisfy.
+        for r in range(r_rows):
+            dlr = dl[r].astype(I32)                          # [TB, N]
+            dhr = dh[r].astype(I32)
+            for j in range(kp1):
+                glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
+                ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
+                s_ll[j] += dlr * glo
+                s_mid[j] += dlr * ghi + dhr * glo
+                s_hh[j] += dhr * ghi
+
+        # -- recombine limb products, twiddle-rotate, split for the INTT ----
+        tw = tw_ref[0].astype(I32)                           # [TB, N]
+        for j in range(kp1):
+            r_mid = barrett(barrett(s_mid[j]) * jnp.int32(256))
+            r_hh = barrett(barrett(s_hh[j]) * c16)
+            prod = barrett(s_ll[j] + r_mid + r_hh)           # [TB, N] bal
+            delta = barrett(tw * prod - prod)
+            h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
+            l8 = delta - (h8 << jnp.int32(8))
+            x8[j * tb:(j + 1) * tb, :n] = l8.astype(jnp.int8)
+            x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
+
+        # -- inverse NTT + explicit CRT accumulation ------------------------
+        zz = jax.lax.dot_general(
+            x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)                      # [J*TB, 2N]
+        r_hi = barrett(zz[:, n:])
+        z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)))
+        y = jnp.where(z < 0, z + p, z)                       # [J*TB, N]
+        alpha[...] += y * fp24
+
+        yu = y.astype(U32)
+        a_lo = acc64_lo[...]
+        a_hi = acc64_hi[...]
+        for i in range(8):
+            pp = yu * consts_ref[k, 3 + i].astype(U32)       # < 2^24
+            if i < 4:
+                lopart = pp << _u32c(8 * i)
+                hipart = pp >> _u32c(32 - 8 * i) if i > 0 else _u32c(0) * pp
+                new_lo = a_lo + lopart
+                a_hi = a_hi + hipart + jnp.where(new_lo < lopart,
+                                                 _u32c(1), _u32c(0))
+                a_lo = new_lo
+            else:
+                a_hi = a_hi + (pp << _u32c(8 * i - 32))
+        acc64_lo[...] = a_lo
+        acc64_hi[...] = a_hi
+
+        # -- k == P-1: alpha rounding, delta = acc64 - alpha*M64, store -----
+        @pl.when(k == pcount - 1)
+        def _finalize():
+            al = (alpha[...] + jnp.int32(1 << 23)) >> jnp.int32(24)
+            alu = al.astype(U32)
+            s_lo = jnp.zeros_like(alu)
+            s_hi = jnp.zeros_like(alu)
+            for i in range(8):
+                pp = alu * m64b_ref[0, i].astype(U32)
+                if i < 4:
+                    lopart = pp << _u32c(8 * i)
+                    hipart = (pp >> _u32c(32 - 8 * i)) if i > 0 \
+                        else _u32c(0) * pp
+                    new_lo = s_lo + lopart
+                    s_hi = s_hi + hipart + jnp.where(new_lo < lopart,
+                                                     _u32c(1), _u32c(0))
+                    s_lo = new_lo
+                else:
+                    s_hi = s_hi + (pp << _u32c(8 * i - 32))
+            d_lo = acc64_lo[...].astype(U32) - s_lo
+            borrow = jnp.where(acc64_lo[...].astype(U32) < s_lo,
+                               _u32c(1), _u32c(0))
+            d_hi = acc64_hi[...].astype(U32) - s_hi - borrow
+            for u in range(kp1):
+                alo = acc_lo_ref[u].astype(U32)
+                ahi = acc_hi_ref[u].astype(U32)
+                dlo = d_lo[u * tb:(u + 1) * tb]
+                dhi = d_hi[u * tb:(u + 1) * tb]
+                nlo = alo + dlo
+                nhi = ahi + dhi + jnp.where(nlo < dlo, _u32c(1), _u32c(0))
+                out_lo_ref[u] = nlo
+                out_hi_ref[u] = nhi
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
+                interpret: bool):
+    n = params.polynomial_size
+    kp1 = params.glwe_dimension + 1
+    lev = params.pbs_level
+    r_rows = kp1 * lev
+    pcount = plan.n_primes
+    for tb in (128, 64, 32, 16, 8, 4, 2, 1):
+        if n_batch % tb == 0:
+            break
+    n_tiles = n_batch // tb
+    kern = _kernel(params, plan, tb, interpret)
+
+    grid = (n_tiles, pcount)
+    i0 = jnp.int32(0)
+
+    def _i(*vals):
+        return tuple(jnp.asarray(v, jnp.int32) for v in vals)
+
+    acc_spec = pl.BlockSpec((kp1, tb, n), lambda t, k: _i(0, t, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pcount, 11), lambda t, k: _i(0, 0),
+                         memory_space=pltpu.SMEM),            # consts
+            pl.BlockSpec((1, 8), lambda t, k: _i(0, 0),
+                         memory_space=pltpu.SMEM),            # m64 bytes
+            pl.BlockSpec((pcount, 1), lambda t, k: _i(0, 0),
+                         memory_space=pltpu.SMEM),            # 1/p f32
+            acc_spec,                                         # acc hi
+            acc_spec,                                         # acc lo
+            pl.BlockSpec((1, n, 2 * n), lambda t, k: _i(k, 0, 0),
+                         memory_space=pltpu.VMEM),            # fwd_full
+            pl.BlockSpec((1, 2 * n, 2 * n), lambda t, k: _i(k, 0, 0),
+                         memory_space=pltpu.VMEM),            # inv_crt_full
+            pl.BlockSpec((1, r_rows * 2 * kp1, n), lambda t, k: _i(k, 0, 0),
+                         memory_space=pltpu.VMEM),            # bsk step rows
+            pl.BlockSpec((1, tb, n), lambda t, k: _i(k, t, 0),
+                         memory_space=pltpu.VMEM),            # twiddles
+        ],
+        out_specs=[acc_spec, acc_spec],
+        scratch_shapes=[
+            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # digits
+            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # dl
+            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # dh
+            pltpu.VMEM((kp1, tb, n), I32),                    # s_ll
+            pltpu.VMEM((kp1, tb, n), I32),                    # s_mid
+            pltpu.VMEM((kp1, tb, n), I32),                    # s_hh
+            pltpu.VMEM((kp1 * tb, 2 * n), jnp.int8),          # x8
+            pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 hi
+            pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 lo
+            pltpu.VMEM((kp1 * tb, n), I32),                   # alpha
+        ],
+    )
+
+    consts = np.zeros((pcount, 11), np.int32)
+    for k in range(pcount):
+        consts[k, 0] = plan.p_i32[k]
+        consts[k, 1] = int(np.asarray(
+            # balanced(2^16 mod p)
+            ((1 << 16) % int(plan.p_i32[k]))))
+        if consts[k, 1] > plan.p_i32[k] // 2:
+            consts[k, 1] -= plan.p_i32[k]
+        consts[k, 2] = (1 << 24) // int(plan.p_i32[k])        # fp24
+        mk = int(plan.mk64[k])
+        for i in range(8):
+            consts[k, 3 + i] = (mk >> (8 * i)) & 0xFF
+    m64b = np.array([[(int(plan.m64) >> (8 * i)) & 0xFF for i in range(8)]],
+                    np.int32)
+    invp = (1.0 / np.asarray(plan.p_i32, np.float64)).astype(
+        np.float32).reshape(-1, 1)
+
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((kp1, n_batch, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((kp1, n_batch, n), jnp.uint32)],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return call, jnp.asarray(consts), jnp.asarray(m64b), jnp.asarray(invp)
+
+
+def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
+                        bsk_limbs: jnp.ndarray, lwe_u64: jnp.ndarray,
+                        test_glwe_u64: jnp.ndarray, fwd_full: jnp.ndarray,
+                        inv_crt_full: jnp.ndarray, rot_table: jnp.ndarray,
+                        *, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for ops.blind_rotate.blind_rotate (same result).
+
+    lwe_u64 [B, n+1]; test_glwe_u64 [k+1, N] or [B, k+1, N]; bsk_limbs
+    [n_lwe, P, R*2J, N] int8.  Returns [B, k+1, N] u64.
+    """
+    from . import lwe  # local import to avoid cycle
+
+    n_poly = params.polynomial_size
+    two_n = 2 * n_poly
+    n_batch = lwe_u64.shape[0]
+    kp1 = params.glwe_dimension + 1
+    tilde = lwe.modswitch(lwe_u64, two_n)
+    b_t = tilde[:, -1]
+    if test_glwe_u64.ndim == 2:
+        test_glwe_u64 = jnp.broadcast_to(
+            test_glwe_u64[None], (n_batch,) + test_glwe_u64.shape)
+    acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
+    acc0 = jnp.transpose(acc0, (1, 0, 2))            # [k+1, B, N]
+    acc_hi = (acc0 >> jnp.uint64(32)).astype(jnp.uint32)
+    acc_lo = acc0.astype(jnp.uint32)
+
+    call, consts, m64b, invp = _build_call(params, plan, n_batch, interpret)
+
+    def body(i, hl):
+        hi, lo = hl
+        g = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
+                                         keepdims=False)     # [P, R2J, N]
+        tw = jnp.take(rot_table, tilde[:, i], axis=1)        # [P, B, N]
+        hi, lo = call(consts, m64b, invp, hi, lo, fwd_full, inv_crt_full,
+                      g, tw)
+        return hi, lo
+
+    acc_hi, acc_lo = jax.lax.fori_loop(0, params.lwe_dimension, body,
+                                       (acc_hi, acc_lo))
+    acc = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) \
+        | acc_lo.astype(jnp.uint64)
+    return jnp.transpose(acc, (1, 0, 2))             # [B, k+1, N]

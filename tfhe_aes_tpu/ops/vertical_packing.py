@@ -57,8 +57,7 @@ def vertical_packing(keys: DeviceKeys, ggsw_ntt: jnp.ndarray,
         diff = rotated - acc_flat
         # g_bit: [P, B, R2, k+1, N] — per-byte GGSW, broadcast over L (and C).
         return acc_flat + blind_rotate.external_product_ntt(
-            plan, diff, g_bit, p.cbs_base_log, p.cbs_level, fwd, inv_crt,
-            batched_ggsw=True)
+            plan, diff, g_bit, p.cbs_base_log, p.cbs_level, fwd, inv_crt)
 
     # CMux tree over high bits (MSB-most): halves the chunk axis per layer.
     for t in range(tree_bits):
@@ -72,5 +71,5 @@ def vertical_packing(keys: DeviceKeys, ggsw_ntt: jnp.ndarray,
         diff = rot - acc
         acc = acc + blind_rotate.external_product_ntt(
             plan, diff, ggsw_ntt[j], p.cbs_base_log, p.cbs_level, fwd,
-            inv_crt, batched_ggsw=True)
+            inv_crt)
     return lwe.sample_extract0(acc)

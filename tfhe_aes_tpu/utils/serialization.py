@@ -37,10 +37,22 @@ def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys) -> None:
         primes=np.array(dkeys.plan.primes, dtype=np.int64),
         lwe_key=sk.lwe_key,
         glwe_key=sk.glwe_key,
-        bsk_ntt=np.asarray(dkeys.bsk_ntt),
+        # Serialized format: int16 NTT residues [n, P, R, k+1, N] — stable
+        # across device-layout changes; converted on load.
+        bsk_ntt=_bsk_limbs_to_residues(dkeys),
         ksk_limbs=np.asarray(dkeys.ksk_limbs),
         pfpksk_limbs=np.asarray(dkeys.pfpksk_limbs),
     )
+
+
+def _bsk_limbs_to_residues(dkeys: DeviceKeys) -> np.ndarray:
+    """Invert keys.bsk_residues_to_device for serialization."""
+    limbs = np.asarray(dkeys.bsk_limbs).astype(np.int16)  # [n,P,R*2(k+1),N]
+    kp1 = dkeys.params.glwe_dimension + 1
+    n_lwe, pcount, rows, n = limbs.shape
+    limbs = limbs.reshape(n_lwe, pcount, rows // (2 * kp1), 2 * kp1, n)
+    return np.ascontiguousarray(
+        limbs[..., :kp1, :] + (limbs[..., kp1:, :] << 8))
 
 
 def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
@@ -50,13 +62,16 @@ def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
                     np.asarray(z["glwe_key"]))
     plan = ntt.make_plan(params.polynomial_size,
                          tuple(int(p) for p in z["primes"]))
+    from ..ops.keys import bsk_residues_to_device
     dkeys = DeviceKeys(
         params=params, plan=plan,
-        bsk_ntt=np.asarray(z["bsk_ntt"]),
+        bsk_limbs=bsk_residues_to_device(np.asarray(z["bsk_ntt"])),
         ksk_limbs=np.asarray(z["ksk_limbs"]),
         pfpksk_limbs=np.asarray(z["pfpksk_limbs"]),
         fwd_limbs=plan.fwd_limbs,
+        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
+        inv_crt_full=ntt.inv_crt_full_host(plan),
         rot_table=plan.rot_table,
     )
     return sk, dkeys
