@@ -64,7 +64,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
     def kernel(consts_ref, m64b_ref, invp_ref,
                acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                out_hi_ref, out_lo_ref,
-               digits, dl, dh, s_ll, s_mid, s_hh, x8, acc64_hi,
+               digits, dhat, s_lo, s_hi, x8, acc64_hi,
                acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
@@ -121,36 +121,31 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
                 block, wf_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)                  # [lev*TB, 2N]
             t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
-            h8 = (t + jnp.int32(128)) >> jnp.int32(8)
-            l8 = t - (h8 << jnp.int32(8))
-            dl[u * lev:(u + 1) * lev] = l8.astype(jnp.int8).reshape(
-                lev, tb, n)
-            dh[u * lev:(u + 1) * lev] = h8.astype(jnp.int8).reshape(
+            dhat[u * lev:(u + 1) * lev] = t.astype(jnp.int16).reshape(
                 lev, tb, n)
 
-        # -- MAC: s += dhat_limb * g_limb, contraction over the R rows ------
-        s_ll[...] = jnp.zeros_like(s_ll)
-        s_mid[...] = jnp.zeros_like(s_mid)
-        s_hh[...] = jnp.zeros_like(s_hh)
+        # -- MAC: s += dhat * g_limb, contraction over the R rows -----------
+        # dhat is full balanced 15-bit, the key side pre-split into 8-bit
+        # limbs: |dhat*g_lo| <= 2^22.5, 25-term sums < 2^27.1 — int32-safe
+        # with a single multiply per (row, limb).
+        s_lo[...] = jnp.zeros_like(s_lo)
+        s_hi[...] = jnp.zeros_like(s_hi)
 
         # Static unroll over the R gadget rows: Mosaic needs provably
         # 8-aligned sublane offsets, which constant indices satisfy.
         for r in range(r_rows):
-            dlr = dl[r].astype(I32)                          # [TB, N]
-            dhr = dh[r].astype(I32)
+            dr = dhat[r].astype(I32)                         # [TB, N]
             for j in range(kp1):
                 glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
                 ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
-                s_ll[j] += dlr * glo
-                s_mid[j] += dlr * ghi + dhr * glo
-                s_hh[j] += dhr * ghi
+                s_lo[j] += dr * glo
+                s_hi[j] += dr * ghi
 
         # -- recombine limb products, twiddle-rotate, split for the INTT ----
         tw = tw_ref[0].astype(I32)                           # [TB, N]
         for j in range(kp1):
-            r_mid = barrett(barrett(s_mid[j]) * jnp.int32(256))
-            r_hh = barrett(barrett(s_hh[j]) * c16)
-            prod = barrett(s_ll[j] + r_mid + r_hh)           # [TB, N] bal
+            r_hi = barrett(barrett(s_hi[j]) * jnp.int32(256))
+            prod = barrett(s_lo[j] + r_hi)                   # [TB, N] bal
             delta = barrett(tw * prod - prod)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
             l8 = delta - (h8 << jnp.int32(8))
@@ -227,8 +222,10 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
     lev = params.pbs_level
     r_rows = kp1 * lev
     pcount = plan.n_primes
-    for tb in (128, 64, 32, 16, 8, 4, 2, 1):
-        if n_batch % tb == 0:
+    import os
+    tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "256"))
+    for tb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if tb <= tb_max and n_batch % tb == 0:
             break
     n_tiles = n_batch // tb
     kern = _kernel(params, plan, tb, interpret)
@@ -265,11 +262,9 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
             pltpu.VMEM((r_rows, tb, n), jnp.int8),            # digits
-            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # dl
-            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # dh
-            pltpu.VMEM((kp1, tb, n), I32),                    # s_ll
-            pltpu.VMEM((kp1, tb, n), I32),                    # s_mid
-            pltpu.VMEM((kp1, tb, n), I32),                    # s_hh
+            pltpu.VMEM((r_rows, tb, n), jnp.int16),           # dhat
+            pltpu.VMEM((kp1, tb, n), I32),                    # s_lo
+            pltpu.VMEM((kp1, tb, n), I32),                    # s_hi
             pltpu.VMEM((kp1 * tb, 2 * n), jnp.int8),          # x8
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 hi
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 lo
