@@ -4,6 +4,8 @@ Both paths implement the same math on the same key material (see
 ops/blind_rotate.py); the Pallas kernel runs here in interpret mode (CPU).
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,10 +19,23 @@ from tfhe_aes_tpu.utils import torus
 
 U64 = np.uint64
 
+# PARAM_TOY has pbs_base_log*pbs_level == 32 (the kernel's shift==32 decompose
+# special case).  This variant exercises the production-shaped shift<32 path
+# (40 digit bits, cross-limb extraction) that PARAM_OPT uses.
+PARAM_TOY_L5 = dataclasses.replace(PARAM_TOY, name="PARAM_TOY_L5",
+                                   pbs_level=5)
+
 
 @pytest.fixture(scope="module")
 def ctx():
     client = Client(PARAM_TOY, seed=11)
+    dkeys = client.make_device_keys()
+    return client, dkeys
+
+
+@pytest.fixture(scope="module")
+def ctx_l5():
+    client = Client(PARAM_TOY_L5, seed=13)
     dkeys = client.make_device_keys()
     return client, dkeys
 
@@ -53,6 +68,55 @@ def test_pallas_matches_xla(ctx, n_batch):
         jnp.asarray(dkeys.rot_table), interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_matches_xla_shift24(ctx_l5):
+    """The shift<32 decompose branch (production PARAM_OPT shape)."""
+    client, dkeys = ctx_l5
+    p = client.params
+    bits, small, test = _inputs(client, 3)
+
+    want = jax.jit(blind_rotate.blind_rotate, static_argnums=(0, 1))(
+        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.fwd_limbs), jnp.asarray(dkeys.fwd_full),
+        jnp.asarray(dkeys.inv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table))
+    got = pallas_blind_rotate.blind_rotate_pallas(
+        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.fwd_full), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table), interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_cache_survives_retrace(ctx, monkeypatch):
+    """Regression: round 1's bench-killer (VERDICT.md, What's weak #1).
+
+    _build_call is lru_cached; when its constants were jnp arrays created
+    inside the FIRST jit trace, a SECOND distinct jit trace reusing the cache
+    hit UnexpectedTracerError.  This mirrors the bench's call pattern
+    (aes_key_expansion_jit trace, then ctr_step_jit trace) at minimal cost:
+    two distinct jit closures, same _build_call cache key.
+    """
+    monkeypatch.setenv("TFHE_AES_TPU_BLIND_ROTATE", "interpret")
+    from tfhe_aes_tpu.ops import cbs
+    client, dkeys = ctx
+    p = client.params
+    # A fresh cache key (batch size unused elsewhere) + cleared cache, so an
+    # earlier eager call in this process can't mask the leak.
+    pallas_blind_rotate._build_call.cache_clear()
+    bits = np.array([1, 0, 1, 1, 0], dtype=np.uint64)
+    small = jnp.asarray(nb.lwe_encrypt(client.sk.lwe_key, bits << U64(63),
+                                       p.lwe_noise_std, client.rng))
+
+    out1 = jax.jit(lambda s: cbs.pbs_boolean(dkeys, s, 60))(small)
+    # Distinct lambda => distinct trace; pre-fix this raised
+    # UnexpectedTracerError from the cached first-trace constants.
+    out2 = jax.jit(lambda s: cbs.pbs_boolean(dkeys, s, 60))(small)
+
+    for out in (out1, out2):
+        ph = nb.lwe_phase(client.sk.big_lwe_key, np.asarray(out))
+        assert torus.torus_close(ph, bits << U64(60), 54)
 
 
 def test_pallas_pbs_decrypts(ctx, monkeypatch):

@@ -48,7 +48,7 @@ def _u32c(x):
     return jnp.uint32(x)
 
 
-def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
+def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     """Build the kernel fn + specs for one (params, plan, tile) signature."""
     n = params.polynomial_size
     kp1 = params.glwe_dimension + 1
@@ -57,7 +57,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
     r_rows = kp1 * lev
     pcount = plan.n_primes
     shift = 64 - blog * lev
-    assert blog <= 8 and blog * lev <= 40 and shift >= 24 or shift == 32, (
+    assert blog <= 8 and blog * lev <= 40, (
         "kernel supports base_log <= 8, <= 40 digit bits")
     half_b = 1 << (blog - 1)
 
@@ -68,7 +68,6 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
                acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
-        c16 = consts_ref[k, 1]
         fp24 = consts_ref[k, 2]
         inv_p = invp_ref[k, 0]
 
@@ -214,26 +213,40 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int, interpret: bool):
     return kernel
 
 
+def _resolve_tb(n_batch: int) -> int:
+    """Tile size for the batch axis (env TFHE_AES_TPU_PALLAS_TB, read at
+    trace time — later env changes don't affect already-jitted callers)."""
+    import os
+    tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "256"))
+    for tb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if tb <= tb_max and n_batch % tb == 0:
+            return tb
+    return 1
+
+
 @functools.lru_cache(maxsize=None)
 def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
-                interpret: bool):
+                tb: int, interpret: bool):
+    """Build the pallas_call plus its host-side numpy constants.
+
+    Everything returned here is cached across jit traces, so NOTHING in the
+    return value may be a jnp array: a jnp constant created inside one trace
+    is a tracer there, and reusing it from a second trace raises
+    UnexpectedTracerError (the round-1 bench-killer).  Numpy arrays are safe:
+    each trace lifts them into fresh constants.
+    """
     n = params.polynomial_size
     kp1 = params.glwe_dimension + 1
     lev = params.pbs_level
     r_rows = kp1 * lev
     pcount = plan.n_primes
-    import os
-    tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "256"))
-    for tb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if tb <= tb_max and n_batch % tb == 0:
-            break
     n_tiles = n_batch // tb
-    kern = _kernel(params, plan, tb, interpret)
+    kern = _kernel(params, plan, tb)
 
     grid = (n_tiles, pcount)
-    i0 = jnp.int32(0)
 
     def _i(*vals):
+        # Index maps run inside each trace; fresh jnp constants are fine here.
         return tuple(jnp.asarray(v, jnp.int32) for v in vals)
 
     acc_spec = pl.BlockSpec((kp1, tb, n), lambda t, k: _i(0, t, 0),
@@ -299,7 +312,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    return call, jnp.asarray(consts), jnp.asarray(m64b), jnp.asarray(invp)
+    return call, consts, m64b, invp
 
 
 def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
@@ -328,7 +341,8 @@ def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
     acc_hi = (acc0 >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc0.astype(jnp.uint32)
 
-    call, consts, m64b, invp = _build_call(params, plan, n_batch, interpret)
+    call, consts, m64b, invp = _build_call(params, plan, n_batch,
+                                           _resolve_tb(n_batch), interpret)
 
     def body(i, hl):
         hi, lo = hl
