@@ -106,7 +106,8 @@ def main(argv=None) -> int:
     # Emit the metric BEFORE any further device interaction: large D2H /
     # extra programs right after long runs have faulted the device tunnel,
     # and a fault must not cost the bench result.
-    pbs_per_block = 128 * 10 + 16 * 9  # CBS bootstraps: rounds + ripple-add
+    from tfhe_aes_tpu.utils import profiling
+    pbs_per_block = profiling.count_pbs_per_block(params)
     print(f"# steady-state: {t_batch:.2f}s/batch, "
           f"{B / t_batch * pbs_per_block:.0f} PBS/s/chip", file=sys.stderr)
     print(json.dumps({

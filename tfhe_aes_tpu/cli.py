@@ -20,7 +20,7 @@ import numpy as np
 from .params import PARAM_OPT, PARAM_TOY
 from .client.client import Client
 from .models import aes_plain, fhe_aes, tables
-from .utils import serialization
+from .utils import profiling, serialization
 
 
 def _rcon_cts(client, pk):
@@ -173,9 +173,10 @@ def main(argv=None) -> int:
                                offset=0)
     ks = jax.block_until_ready(ks)
     t_ctr = time.time() - t0
-    pbs_count = n * (16 * 9 + 2560)  # add_scalar CBS + encrypt bootstraps
+    pbs_count = n * profiling.count_pbs_per_block(params)
     print(f"[server] AES of #{n} outputs computed in: {t_ctr:.2f}s "
-          f"({n / t_ctr * 60:.2f} blocks/min)")
+          f"({n / t_ctr * 60:.2f} blocks/min, "
+          f"{pbs_count / t_ctr:.0f} PBS/s)")
 
     if not args.no_verify:
         if args.host_verify:

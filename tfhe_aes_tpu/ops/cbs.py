@@ -60,6 +60,8 @@ def pfpksk_apply_all(keys: DeviceKeys, big_lwe_u64: jnp.ndarray) -> jnp.ndarray:
         m = m.reshape(m.shape[:-1] + (out_cols, 8))
         acc = jnp.zeros(m.shape[:-1], U64)
         for l in range(8):
+            if 8 * l + 8 * i >= 64:
+                continue  # term is 0 mod 2^64; shift-by-64 is UB-adjacent
             acc = acc + ((m[..., l].astype(jnp.int64).astype(U64))
                          << U64(8 * l + 8 * i))
         outs.append(acc)

@@ -55,8 +55,10 @@ def device_trace(log_dir: str | None):
 
 
 def count_pbs_per_block(params) -> int:
-    """CBS-class bootstraps per AES-128 CTR block in this framework:
-    128 bits x 10 rounds (encrypt) + 16 ripple steps x 9 bits (add_scalar).
-    The reference's extract-bits PBS cost is zero here (1-bit blocks ->
-    keyswitch only, SURVEY.md 2b)."""
-    return 128 * 10 + 16 * 9
+    """PBS-class bootstraps per AES-128 CTR block in this framework.
+
+    The ONE accounting used by cli.py and bench.py.  Each circuit-bootstrapped
+    bit costs ``cbs_level`` blind rotates; bit extraction costs zero PBS here
+    (1-bit radix blocks degenerate to a keyswitch, SURVEY.md 2b):
+      encrypt: 10 rounds x 128 bits; add_scalar ripple: 8 + 15 x 9 bits."""
+    return (10 * 128 + 8 + 15 * 9) * params.cbs_level
