@@ -42,8 +42,14 @@ class PublicKey:
 
 class Client:
     def __init__(self, params: ParamSet = PARAM_OPT, seed: int | None = None):
+        """seed=None (production): all key/mask/noise randomness comes from
+        the ChaCha20 CSPRNG seeded with OS entropy (utils/csprng.py; the
+        reference uses tfhe-csprng, SURVEY.md 2b).  An integer seed selects
+        numpy PCG64 — reproducible but NOT cryptographically secure, for
+        tests and benches only."""
+        from ..utils import csprng
         self.params = params
-        self.rng = np.random.default_rng(seed)
+        self.rng = csprng.default_rng(seed)
         self.sk = nb.gen_secret_keys(params, self.rng)
 
     # -- key material for the server (the trust boundary) -------------------

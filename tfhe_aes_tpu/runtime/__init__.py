@@ -51,8 +51,9 @@ def get_lib():
     lib.ntt_rows_mod.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
-    lib.csprng_fill_u64.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.chacha20_fill_u64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint32]
     _lib = lib
     return _lib
 

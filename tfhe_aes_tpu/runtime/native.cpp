@@ -112,20 +112,58 @@ void ntt_rows_mod(const int32_t* rows, const int32_t* mat, int32_t* out,
   });
 }
 
-// xoshiro256** CSPRNG fill (keyed) — host randomness for masks/tests.
-static inline uint64_t rotl(uint64_t x, int k) {
-  return (x << k) | (x >> (64 - k));
+// ChaCha20 (RFC 8439) keystream — the framework's CSPRNG for key, mask and
+// noise sampling (reference dependency: tfhe-csprng, SURVEY.md 2b).  Counter
+// mode makes the fill embarrassingly parallel: each thread owns a contiguous
+// block range.  Validated against the RFC 8439 2.3.2 test vector
+// (tests/test_csprng.py).
+
+static inline uint32_t rotl32(uint32_t x, int k) {
+  return (x << k) | (x >> (32 - k));
 }
 
-void csprng_fill_u64(uint64_t* out, int64_t n, const uint64_t seed[4]) {
-  uint64_t s[4] = {seed[0] | 1, seed[1], seed[2], seed[3]};
-  for (int64_t i = 0; i < n; ++i) {
-    uint64_t result = rotl(s[1] * 5, 7) * 9;
-    uint64_t t = s[1] << 17;
-    s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3]; s[2] ^= t;
-    s[3] = rotl(s[3], 45);
-    out[i] = result;
+static inline void chacha_quarter(uint32_t& a, uint32_t& b, uint32_t& c,
+                                  uint32_t& d) {
+  a += b; d ^= a; d = rotl32(d, 16);
+  c += d; b ^= c; b = rotl32(b, 12);
+  a += b; d ^= a; d = rotl32(d, 8);
+  c += d; b ^= c; b = rotl32(b, 7);
+}
+
+static void chacha20_block(const uint32_t key[8], uint32_t counter,
+                           const uint32_t nonce[3], uint32_t out[16]) {
+  uint32_t s[16] = {0x61707865u, 0x3320646eu, 0x79622d32u, 0x6b206574u,
+                    key[0], key[1], key[2], key[3],
+                    key[4], key[5], key[6], key[7],
+                    counter, nonce[0], nonce[1], nonce[2]};
+  uint32_t x[16];
+  std::memcpy(x, s, sizeof(x));
+  for (int r = 0; r < 10; ++r) {  // 20 rounds = 10 double rounds
+    chacha_quarter(x[0], x[4], x[8], x[12]);
+    chacha_quarter(x[1], x[5], x[9], x[13]);
+    chacha_quarter(x[2], x[6], x[10], x[14]);
+    chacha_quarter(x[3], x[7], x[11], x[15]);
+    chacha_quarter(x[0], x[5], x[10], x[15]);
+    chacha_quarter(x[1], x[6], x[11], x[12]);
+    chacha_quarter(x[2], x[7], x[8], x[13]);
+    chacha_quarter(x[3], x[4], x[9], x[14]);
   }
+  for (int i = 0; i < 16; ++i) out[i] = x[i] + s[i];
+}
+
+// Fill n_blocks * 8 u64 words of ChaCha20 keystream starting at block
+// `counter0` (little-endian serialization, exactly the RFC keystream).
+void chacha20_fill_u64(uint64_t* out, int64_t n_blocks,
+                       const uint32_t key[8], const uint32_t nonce[3],
+                       uint32_t counter0) {
+  parallel_for(n_blocks, [&](int64_t i) {
+    uint32_t block[16];
+    chacha20_block(key, counter0 + static_cast<uint32_t>(i), nonce, block);
+    for (int w = 0; w < 8; ++w) {
+      out[i * 8 + w] = static_cast<uint64_t>(block[2 * w]) |
+                       (static_cast<uint64_t>(block[2 * w + 1]) << 32);
+    }
+  });
 }
 
 }  // extern "C"
