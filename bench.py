@@ -35,7 +35,7 @@ def main(argv=None) -> int:
 
     from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
     from tfhe_aes_tpu.client.client import Client
-    from tfhe_aes_tpu.models import fhe_aes, tables
+    from tfhe_aes_tpu.models import fhe_aes
     from tfhe_aes_tpu.utils import serialization
 
     params = PARAM_OPT if args.params == "prod" else PARAM_TOY
@@ -58,11 +58,6 @@ def main(argv=None) -> int:
 
     KEY = 0x2B7E151628AED2A6ABF7158809CF4F3C
     IV = 0x00112233445566778899AABBCCDDEEFF
-    pk = client.make_public_key()
-    rcon_bits = np.stack([
-        np.array([(int(r) >> j) & 1 for j in range(8)], dtype=np.uint64)
-        for r in tables.RCON])
-    rcon = pk.encrypt_bits(rcon_bits, client.rng)
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
     enc_iv = jnp.asarray(client.encrypt_u128(IV))
 
@@ -75,7 +70,7 @@ def main(argv=None) -> int:
     if fresh_rks:
         t0 = time.time()
         rks = jax.block_until_ready(
-            fhe_aes.aes_key_expansion_jit(dkeys, enc_key, jnp.asarray(rcon)))
+            fhe_aes.aes_key_expansion_jit(dkeys, enc_key))
         print(f"# key expansion: {time.time()-t0:.1f}s", file=sys.stderr)
     else:
         rks = jnp.asarray(np.load(rks_cache))

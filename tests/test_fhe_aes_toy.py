@@ -57,6 +57,18 @@ def test_aes_decrypt_roundtrip(ctx):
 
 
 def test_key_expansion(ctx):
+    """Default schedule: trivial noise-free RCON, 2 WoPBS per round."""
+    client, dkeys = ctx
+    enc_key = jnp.asarray(client.encrypt_u128(KEY))
+    rks = np.asarray(fhe_aes.aes_key_expansion_jit(dkeys, enc_key))
+    want = aes_plain.key_expansion(aes_plain.u128_to_bytes_be(KEY))
+    for r in range(11):
+        got = [client.decrypt_byte(rks[r, i]) for i in range(16)]
+        assert got == want[r], f"round key {r}"
+
+
+def test_key_expansion_pk_rcon(ctx):
+    """Reference-faithful schedule: public-key RCON (server.rs:139-140)."""
     client, dkeys = ctx
     pk = client.make_public_key()
     rcon_bits = np.stack([

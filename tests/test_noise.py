@@ -22,6 +22,7 @@ def test_audit_all_within_budget(params):
     # (n2 = w2 + w1 + w0 + SubWord + RCON) both sit AT the budget.
     assert out["encrypt"]["wopbs_in"] == 5
     assert out["key_expansion"]["wopbs_in"] == 5
+    assert out["key_expansion_pk"]["wopbs_in"] == 5
     assert out["ctr_step"]["wopbs_in"] == 5
     assert out["decrypt"]["wopbs_in"] <= 5
     for levels in out.values():

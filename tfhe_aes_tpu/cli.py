@@ -112,6 +112,11 @@ def main(argv=None) -> int:
                     help="also run homomorphic decryption round-trip")
     ap.add_argument("--no-cache", action="store_true",
                     help="do not cache/load evaluation keys")
+    ap.add_argument("--pk-rcon", action="store_true",
+                    help="public-key-encrypt RCON server-side like the "
+                         "reference (server.rs:139-140) instead of the "
+                         "default trivial noise-free encodings; selects "
+                         "the 3-WoPBS key-expansion schedule")
     ap.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                     default="auto",
                     help="force the JAX backend (auto = whatever the "
@@ -154,15 +159,17 @@ def main(argv=None) -> int:
             serialization.save_keys(cache, client.sk, dkeys)
         print(f"[client] keygen + packing took {time.time()-t0:.2f}s")
 
-    pk = client.make_public_key()
     enc_key = client.encrypt_u128(args.key)
     enc_iv = client.encrypt_u128(args.iv)
-    rcon = _rcon_cts(client, pk)
+    rcon = None
+    if args.pk_rcon:
+        rcon = _rcon_cts(client, client.make_public_key())
 
     import jax.numpy as jnp
     t0 = time.time()
-    round_keys = fhe_aes.aes_key_expansion_jit(dkeys, jnp.asarray(enc_key),
-                                               jnp.asarray(rcon))
+    round_keys = fhe_aes.aes_key_expansion_jit(
+        dkeys, jnp.asarray(enc_key),
+        None if rcon is None else jnp.asarray(rcon))
     round_keys = jax.block_until_ready(round_keys)
     t_exp = time.time() - t0
     print(f"[server] AES key expansion took: {t_exp:.2f}s")

@@ -170,31 +170,71 @@ def aes_decrypt(keys: DeviceKeys, round_keys, state):
 # Key expansion (server.rs:107-167)
 # ---------------------------------------------------------------------------
 
-def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts):
+def trivial_rcon(params) -> np.ndarray:
+    """RCON bytes as trivial (noiseless) LWE encodings: [10, 8, big+1].
+
+    RCON is a PUBLIC constant (key_expansion_utils.rs:10-12); a trivial
+    ciphertext (zero mask, body = bit * 2^63) is a valid noise-level-0
+    encoding that needs no key material at all.  The reference instead
+    public-key-encrypts RCON (server.rs:139-140) — a fresh level-1
+    ciphertext; pass its output as rcon_cts for the reference-faithful path.
+    """
+    out = np.zeros((10, 8, params.big_lwe_dimension + 1), np.uint64)
+    for i, r in enumerate(tables.RCON):
+        for j in range(8):
+            out[i, j, -1] = np.uint64(((int(r) >> j) & 1)) << np.uint64(63)
+    return out
+
+
+def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts=None, *,
+                      rcon_fresh: bool | None = None):
     """enc_key [16, 8, big+1] -> round keys [11, 16, 8, big+1].
 
-    rcon_cts: [10, 8, big+1] — RCON bytes encrypted server-side with the
-    public key (server.rs:139-140).  Every generated round-key byte exits at
-    nominal noise through an identity WoPBS (server.rs:150).
+    rcon_cts: optional [10, 8, big+1].  Default (None) uses trivial
+    noise-free RCON encodings (trivial_rcon); passing public-key-encrypted
+    RCON (level 1, server.rs:139-140) selects the 3-WoPBS schedule.  Every
+    generated round-key byte exits at nominal noise through an identity
+    WoPBS (server.rs:150).
 
-    Scheduling (TPU): one lax.scan over the 10 rounds, each round only
-    THREE sequential WoPBS calls instead of the reference's five
-    (1 SubWord + 4 per-word refreshes, server.rs:131-154): the first three
-    new words are formed as leveled sums of *fresh* inputs and refreshed as
-    one 12-byte batch, then w3 completes from the refreshed w2.  Leveled
-    noise stays within the <=5-additions budget (README.md:176-180):
-    n0 = w0 + sub + rcon (3), n1 = w1 + n0 (4), n2 = w2 + n1 (5) -> refresh;
-    n3 = w3 + n2' (2) -> refresh.
+    Scheduling (TPU): one lax.scan over the 10 rounds.  With noise-free
+    RCON each round is TWO sequential WoPBS calls instead of the
+    reference's five (1 SubWord + 4 per-word refreshes, server.rs:131-154):
+    the four new words chain as leveled sums of fresh inputs —
+    n0 = w0 + sub (2), n1 = w1 + n0 (3), n2 = w2 + n1 (4),
+    n3 = w3 + n2 (5 = budget) — and refresh as ONE 16-byte (128-bit)
+    batch, which also tiles the fused blind-rotate kernel far better than
+    the 3-WoPBS schedule's 32..96-bit batches.  With fresh (level-1) RCON
+    the chain would hit 6, so n3 completes from the refreshed n2 in a
+    third WoPBS: n0 (3), n1 (4), n2 (5) -> refresh; n3 = w3 + n2' (2).
+    Budget discipline per README.md:176-180; both schedules are checked by
+    the circuit-derived audit (utils/noise.py) and the oracle tests.
     """
     p = keys.params
     ident = jnp.asarray(_identity_lut(p))
     sbox_l = jnp.asarray(_sbox_lut(p, inv=False))
+    if rcon_fresh is None:
+        rcon_fresh = rcon_cts is not None
+    if rcon_cts is None:
+        rcon_cts = jnp.asarray(trivial_rcon(p))
     rk0 = enc_key
 
-    def round_body(prev_rk, rcon):
+    def round_body_trivial(prev_rk, rcon):
         w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
         temp = w[3][np.array([1, 2, 3, 0])]            # RotWord (free)
         temp = wopbs.many_wopbs(keys, temp, sbox_l)    # SubWord (fresh)
+        temp = temp.at[0].add(rcon)                    # += trivial: still 1
+        n0 = w[0] + temp                               # lvl 2 (byte 0)
+        n1 = w[1] + n0                                 # lvl 3
+        n2 = w[2] + n1                                 # lvl 4
+        n3 = w[3] + n2                                 # lvl 5 = budget
+        new_rk = wopbs.many_wopbs(
+            keys, jnp.concatenate([n0, n1, n2, n3], axis=0), ident)
+        return new_rk, new_rk
+
+    def round_body_pk(prev_rk, rcon):
+        w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
+        temp = w[3][np.array([1, 2, 3, 0])]
+        temp = wopbs.many_wopbs(keys, temp, sbox_l)
         temp = temp.at[0].add(rcon)                    # += RCON ct (lvl 2)
         n0 = w[0] + temp                               # lvl 3 (byte 0)
         n1 = w[1] + n0                                 # lvl 4
@@ -206,11 +246,13 @@ def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts):
         new_rk = jnp.concatenate([fresh, n3], axis=0)  # [16, 8, big+1]
         return new_rk, new_rk
 
-    _, rks = jax.lax.scan(round_body, rk0, rcon_cts)
+    body = round_body_pk if rcon_fresh else round_body_trivial
+    _, rks = jax.lax.scan(body, rk0, rcon_cts)
     return jnp.concatenate([rk0[None], rks], axis=0)
 
 
-aes_key_expansion_jit = jax.jit(aes_key_expansion)
+aes_key_expansion_jit = jax.jit(aes_key_expansion,
+                                static_argnames=("rcon_fresh",))
 
 
 # ---------------------------------------------------------------------------

@@ -94,13 +94,24 @@ def audit_decrypt(params: ParamSet) -> dict[str, int]:
 
 
 def audit_key_expansion(params: ParamSet) -> dict[str, int]:
+    """Default schedule: trivial noise-FREE RCON encodings (level 0)."""
     from ..models import fhe_aes
     ledger = _Ledger()
     with _audit_context(ledger):
-        # enc_key: fresh client encryptions; RCON: fresh public-key
-        # encryptions (server.rs:139-140) — both level 1.
+        rks = fhe_aes.aes_key_expansion(
+            _StubKeys(params), _fresh(16, 8, 1),
+            jnp.zeros((10, 8, 1), U64), rcon_fresh=False)
+    return {"wopbs_in": ledger.max_wopbs_in,
+            "output": int(np.asarray(jnp.max(rks)))}
+
+
+def audit_key_expansion_pk(params: ParamSet) -> dict[str, int]:
+    """Reference-faithful schedule: public-key RCON, fresh level 1."""
+    from ..models import fhe_aes
+    ledger = _Ledger()
+    with _audit_context(ledger):
         rks = fhe_aes.aes_key_expansion(_StubKeys(params), _fresh(16, 8, 1),
-                                        _fresh(10, 8, 1))
+                                        _fresh(10, 8, 1), rcon_fresh=True)
     return {"wopbs_in": ledger.max_wopbs_in,
             "output": int(np.asarray(jnp.max(rks)))}
 
@@ -130,6 +141,7 @@ def audit_all(params: ParamSet) -> dict[str, dict[str, int]]:
         "encrypt": audit_encrypt(params),
         "decrypt": audit_decrypt(params),
         "key_expansion": audit_key_expansion(params),
+        "key_expansion_pk": audit_key_expansion_pk(params),
         "ctr_step": audit_ctr_step(params),
     }
     for name, levels in out.items():
