@@ -31,12 +31,18 @@ def main(argv=None) -> int:
 
     import jax
     jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: the CTR program is large (10 AES rounds
+    # of fused Pallas CMux steps); caching its XLA binary cuts warmup from
+    # minutes to seconds on repeat bench runs.
+    from tfhe_aes_tpu.utils import serialization
+    jax.config.update("jax_compilation_cache_dir",
+                      str(serialization.default_cache_dir() / "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.models import fhe_aes
-    from tfhe_aes_tpu.utils import serialization
 
     params = PARAM_OPT if args.params == "prod" else PARAM_TOY
     dev = jax.devices()[0]
@@ -68,8 +74,9 @@ def main(argv=None) -> int:
         f"{params.name}_seed0_rks_{KEY:032x}.npy")
     fresh_rks = not rks_cache.exists()
     if fresh_rks:
+        from tfhe_aes_tpu.utils import profiling
         t0 = time.time()
-        rks = jax.block_until_ready(
+        rks = profiling.device_fence(
             fhe_aes.aes_key_expansion_jit(dkeys, enc_key))
         print(f"# key expansion: {time.time()-t0:.1f}s", file=sys.stderr)
     else:
@@ -77,22 +84,40 @@ def main(argv=None) -> int:
         print("# round keys loaded from cache", file=sys.stderr)
 
     B = args.blocks
-    i_bytes = fhe_aes.counter_bytes(B, 0)
-    lut_lsb, luts_rest = fhe_aes.add_scalar_luts(params, i_bytes)
-    lut_lsb, luts_rest = jnp.asarray(lut_lsb), jnp.asarray(luts_rest)
 
-    def run():
-        return jax.block_until_ready(fhe_aes.ctr_step_jit(
+    # Each timed batch uses a DIFFERENT counter offset: repeats are distinct
+    # keystream work, so no runtime/tunnel layer can satisfy them from a
+    # cache (an earlier revision repeated identical inputs and the device
+    # tunnel returned them in 0.00s).
+    def luts_for(offset):
+        lut_lsb, luts_rest = fhe_aes.add_scalar_luts(
+            params, fhe_aes.counter_bytes(B, offset))
+        return jnp.asarray(lut_lsb), jnp.asarray(luts_rest)
+
+    def sync(x):
+        # Under the tunneled TPU backend block_until_ready can return at
+        # ENQUEUE time; a (tiny) device->host read cannot complete before
+        # the producing program does, so it is the honest fence.
+        jax.block_until_ready(x)
+        np.asarray(jax.device_get(x[0, 0, 0, -1:]))
+        return x
+
+    def run(offset):
+        lut_lsb, luts_rest = luts_for(offset)
+        return sync(fhe_aes.ctr_step_jit(
             dkeys, rks, enc_iv, lut_lsb, luts_rest))
 
     t0 = time.time()
-    out = run()  # warmup (includes compiles)
+    out = run(0)  # warmup (includes compiles)
     print(f"# warmup batch: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
+    last_offset = 0
     for i in range(args.repeats):
+        last_offset = (i + 1) * B
+        pre = luts_for(last_offset)  # host LUT build outside the timing
         t0 = time.time()
-        out = run()
+        out = sync(fhe_aes.ctr_step_jit(dkeys, rks, enc_iv, *pre))
         times.append(time.time() - t0)
         print(f"# repeat {i}: {times[-1]:.2f}s", file=sys.stderr)
     t_batch = min(times)
@@ -117,7 +142,7 @@ def main(argv=None) -> int:
         # Decrypt on-device and pull only the plaintext bits off the chip:
         # the ciphertext batch is tens of MB and the device link is slow,
         # and large D2H right after long programs has faulted the tunnel.
-        client.verify_ctr_device(out, KEY, IV)
+        client.verify_ctr_device(out, KEY, IV, offset=last_offset)
         print("# verified bit-exact vs plaintext AES", file=sys.stderr)
 
     if fresh_rks:

@@ -1,0 +1,267 @@
+"""Roofline study of the fused Pallas CMux kernel (VERDICT r1, weak #5).
+
+Times blind_rotate at production parameters on the TPU, then re-times with
+individual kernel stages stubbed out (script-local kernel variants) to
+attribute the per-step cost: forward-NTT MXU dots, the r-unrolled VPU MAC
+loop, twiddle+limb split, inverse-NTT MXU dot, explicit-CRT accumulate.
+
+Usage: python scripts/tpu_kernel_ablate.py [batch [tb ...]]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+
+def time_rotate(dkeys, params, small, test, label):
+    from tfhe_aes_tpu.ops import pallas_blind_rotate as pbr
+    from tfhe_aes_tpu.utils import profiling
+    pbr._build_call.cache_clear()
+    fn = jax.jit(lambda k, s, t: pbr.blind_rotate_pallas(
+        k.plan, params, k.bsk_limbs, s, t, k.fwd_full, k.inv_crt_full,
+        k.rot_table))
+    profiling.device_fence(fn(dkeys, small, test))  # compile+warm
+    t0 = time.time()
+    profiling.device_fence(fn(dkeys, small, test))
+    dt = time.time() - t0
+    n_steps = params.lwe_dimension
+    print(f"{label:28s} {dt*1e3:9.1f} ms  ({dt/n_steps*1e6:7.1f} us/step)",
+          flush=True)
+    return dt
+
+
+def make_ablated_kernel(ablate: set):
+    """A copy of pallas_blind_rotate._kernel with stages stubbed."""
+    from tfhe_aes_tpu.ops import ntt
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    I32 = jnp.int32
+    U32 = jnp.uint32
+
+    def _u32c(x):
+        return jnp.uint32(x)
+
+    def _kernel(params, plan, tb):
+        n = params.polynomial_size
+        kp1 = params.glwe_dimension + 1
+        lev = params.pbs_level
+        blog = params.pbs_base_log
+        r_rows = kp1 * lev
+        pcount = plan.n_primes
+        shift = 64 - blog * lev
+        half_b = 1 << (blog - 1)
+
+        def kernel(consts_ref, m64b_ref, invp_ref,
+                   acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
+                   out_hi_ref, out_lo_ref,
+                   digits, dhat, s_lo, s_hi, x8, acc64_hi,
+                   acc64_lo, alpha):
+            k = pl.program_id(1)
+            p = consts_ref[k, 0]
+            fp24 = consts_ref[k, 2]
+            inv_p = invp_ref[k, 0]
+
+            def barrett(t):
+                q = jnp.round(t.astype(jnp.float32) * inv_p).astype(I32)
+                r = t - q * p
+                half = (p - 1) >> 1
+                r = jnp.where(r > half, r - p, r)
+                return jnp.where(r < -half, r + p, r)
+
+            @pl.when(k == 0)
+            def _decompose():
+                if "decompose" not in ablate:
+                    for u in range(kp1):
+                        hi = acc_hi_ref[u].astype(U32)
+                        lo = acc_lo_ref[u].astype(U32)
+                        lo1 = lo + _u32c(1 << (shift - 1))
+                        hi1 = hi + jnp.where(lo1 < lo, _u32c(1), _u32c(0))
+                        if shift == 32:
+                            vlo = hi1
+                            vhi = jnp.zeros_like(hi1)
+                        else:
+                            vlo = ((hi1 << _u32c(32 - shift))
+                                   | (lo1 >> _u32c(shift)))
+                            vhi = hi1 >> _u32c(shift)
+                        carry = jnp.zeros_like(vlo)
+                        for l in range(lev - 1, -1, -1):
+                            sh = blog * (lev - 1 - l)
+                            if sh < 32:
+                                raw = ((vlo >> _u32c(sh))
+                                       & _u32c((1 << blog) - 1))
+                                if sh + blog > 32:
+                                    raw = raw | ((vhi << _u32c(32 - sh))
+                                                 & _u32c((1 << blog) - 1))
+                            else:
+                                raw = ((vhi >> _u32c(sh - 32))
+                                       & _u32c((1 << blog) - 1))
+                            t = raw + carry
+                            carry = jnp.where(t >= _u32c(half_b), _u32c(1),
+                                              _u32c(0))
+                            d = t.astype(I32) - (carry.astype(I32)
+                                                 << jnp.int32(blog))
+                            digits[u * lev + l] = d.astype(jnp.int8)
+                acc64_hi[...] = jnp.zeros_like(acc64_hi)
+                acc64_lo[...] = jnp.zeros_like(acc64_lo)
+                alpha[...] = jnp.zeros_like(alpha)
+
+            if "fwd" not in ablate:
+                for u in range(kp1):
+                    block = digits[u * lev:(u + 1) * lev].reshape(
+                        lev * tb, n)
+                    out = jax.lax.dot_general(
+                        block, wf_ref[0], (((1,), (0,)), ((), ())),
+                        preferred_element_type=I32)
+                    t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
+                    dhat[u * lev:(u + 1) * lev] = t.astype(
+                        jnp.int16).reshape(lev, tb, n)
+
+            s_lo[...] = jnp.zeros_like(s_lo)
+            s_hi[...] = jnp.zeros_like(s_hi)
+            if "mac" not in ablate:
+                step_r = 8 if "mac8" in ablate else 1
+                for r in range(0, r_rows, step_r):
+                    dr = dhat[r].astype(I32)
+                    for j in range(kp1):
+                        glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
+                        ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(
+                            I32)[None, :]
+                        s_lo[j] += dr * glo
+                        s_hi[j] += dr * ghi
+
+            if "twiddle" not in ablate:
+                tw = tw_ref[0].astype(I32)
+                for j in range(kp1):
+                    r_hi = barrett(barrett(s_hi[j]) * jnp.int32(256))
+                    prod = barrett(s_lo[j] + r_hi)
+                    delta = barrett(tw * prod - prod)
+                    h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
+                    l8 = delta - (h8 << jnp.int32(8))
+                    x8[j * tb:(j + 1) * tb, :n] = l8.astype(jnp.int8)
+                    x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
+
+            if "intt" not in ablate:
+                zz = jax.lax.dot_general(
+                    x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=I32)
+                r_hi = barrett(zz[:, n:])
+                z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)))
+                y = jnp.where(z < 0, z + p, z)
+            else:
+                y = jnp.zeros((kp1 * tb, n), I32)
+            alpha[...] += y * fp24
+
+            if "crt" not in ablate:
+                yu = y.astype(U32)
+                a_lo = acc64_lo[...]
+                a_hi = acc64_hi[...]
+                for i in range(8):
+                    pp = yu * consts_ref[k, 3 + i].astype(U32)
+                    if i < 4:
+                        lopart = pp << _u32c(8 * i)
+                        hipart = (pp >> _u32c(32 - 8 * i)) if i > 0 \
+                            else _u32c(0) * pp
+                        new_lo = a_lo + lopart
+                        a_hi = a_hi + hipart + jnp.where(
+                            new_lo < lopart, _u32c(1), _u32c(0))
+                        a_lo = new_lo
+                    else:
+                        a_hi = a_hi + (pp << _u32c(8 * i - 32))
+                acc64_lo[...] = a_lo
+                acc64_hi[...] = a_hi
+
+            @pl.when(k == pcount - 1)
+            def _finalize():
+                al = (alpha[...] + jnp.int32(1 << 23)) >> jnp.int32(24)
+                alu = al.astype(U32)
+                s_lo2 = jnp.zeros_like(alu)
+                s_hi2 = jnp.zeros_like(alu)
+                for i in range(8):
+                    pp = alu * m64b_ref[0, i].astype(U32)
+                    if i < 4:
+                        lopart = pp << _u32c(8 * i)
+                        hipart = (pp >> _u32c(32 - 8 * i)) if i > 0 \
+                            else _u32c(0) * pp
+                        new_lo = s_lo2 + lopart
+                        s_hi2 = s_hi2 + hipart + jnp.where(
+                            new_lo < lopart, _u32c(1), _u32c(0))
+                        s_lo2 = new_lo
+                    else:
+                        s_hi2 = s_hi2 + (pp << _u32c(8 * i - 32))
+                d_lo = acc64_lo[...].astype(U32) - s_lo2
+                borrow = jnp.where(acc64_lo[...].astype(U32) < s_lo2,
+                                   _u32c(1), _u32c(0))
+                d_hi = acc64_hi[...].astype(U32) - s_hi2 - borrow
+                for u in range(kp1):
+                    alo = acc_lo_ref[u].astype(U32)
+                    ahi = acc_hi_ref[u].astype(U32)
+                    dlo = d_lo[u * tb:(u + 1) * tb]
+                    dhi = d_hi[u * tb:(u + 1) * tb]
+                    nlo = alo + dlo
+                    nhi = ahi + dhi + jnp.where(nlo < dlo, _u32c(1),
+                                                _u32c(0))
+                    out_lo_ref[u] = nlo
+                    out_hi_ref[u] = nhi
+        return kernel
+    return _kernel
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    tbs = [int(t) for t in sys.argv[2:]] or [256]
+    from tfhe_aes_tpu.params import PARAM_OPT
+    from tfhe_aes_tpu.client.client import Client
+    from tfhe_aes_tpu.utils import serialization
+    from tfhe_aes_tpu.backend import numpy_backend as nb
+    from tfhe_aes_tpu.ops import pallas_blind_rotate as pbr
+
+    cache = serialization.default_cache_dir() / "PARAM_OPT_seed0.npz"
+    sk, dkeys = serialization.load_keys(cache)
+    client = Client(PARAM_OPT, seed=0)
+    client.sk = sk
+    dkeys = jax.device_put(dkeys)
+    p = PARAM_OPT
+
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, batch).astype(np.uint64)
+    small = jnp.asarray(nb.lwe_encrypt(sk.lwe_key, bits << np.uint64(63),
+                                       p.lwe_noise_std, rng))
+    test = np.zeros((p.glwe_dimension + 1, p.polynomial_size), np.uint64)
+    test[-1, :] = np.uint64(1) << np.uint64(60)
+    test = jnp.asarray(test)
+
+    print(f"# batch={batch}, v5e; full rotate = {p.lwe_dimension} CMux steps")
+    orig_kernel = pbr._kernel
+    for tb in tbs:
+        os.environ["TFHE_AES_TPU_PALLAS_TB"] = str(tb)
+        base = time_rotate(dkeys, p, small, test, f"full (tb={tb})")
+
+    os.environ["TFHE_AES_TPU_PALLAS_TB"] = str(tbs[0])
+    for ablate, label in [
+            ({"mac"}, "no VPU-MAC loop"),
+            ({"mac8"}, "MAC 1/8 rows"),
+            ({"fwd", "mac"}, "no fwd-NTT, no MAC"),
+            ({"intt"}, "no INTT dot"),
+            ({"crt"}, "no CRT accumulate"),
+            ({"twiddle"}, "no twiddle/limb-split"),
+            ({"decompose"}, "no gadget decompose"),
+    ]:
+        pbr._kernel = make_ablated_kernel(ablate)
+        try:
+            time_rotate(dkeys, p, small, test, label)
+        finally:
+            pbr._kernel = orig_kernel
+    pbr._build_call.cache_clear()
+    print(f"# baseline tb={tbs[0]}: {base*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,8 +64,10 @@ def test_device_pfpksk_all(ctx):
         assert torus.torus_close(ph, np.broadcast_to(want, ph.shape), 54), u
 
 
-@pytest.mark.parametrize("params", [PARAM_TOY, PARAM_TOY_N512],
-                         ids=["N128-tree", "N512-flat"])
+@pytest.mark.parametrize(
+    "params",
+    [PARAM_TOY, pytest.param(PARAM_TOY_N512, marks=pytest.mark.slow)],
+    ids=["N128-tree", "N512-flat"])
 def test_device_many_wopbs_sbox(params):
     """Full byte pipeline: extract -> CBS -> VP of {SBOX, mul2oSBOX} LUTs."""
     client = Client(params, seed=5)
@@ -88,6 +90,7 @@ def test_device_many_wopbs_sbox(params):
         assert got_m2 == int(mul2_sbox[byte]), f"mul2(sbox)({byte:#x})"
 
 
+@pytest.mark.slow
 def test_fast_keygen_pipeline():
     """Device-accelerated keygen produces working evaluation keys."""
     from tfhe_aes_tpu.client import keygen_fast

@@ -32,6 +32,7 @@ def _encrypt_round_keys(client, key):
         for rk in rks])
 
 
+@pytest.mark.slow
 def test_aes_encrypt_matches_oracle(ctx):
     client, dkeys = ctx
     rks = _encrypt_round_keys(client, KEY)
@@ -45,6 +46,7 @@ def test_aes_encrypt_matches_oracle(ctx):
         assert got == want, f"block {i}: {got:#x} != {want:#x}"
 
 
+@pytest.mark.slow
 def test_aes_decrypt_roundtrip(ctx):
     client, dkeys = ctx
     rks = _encrypt_round_keys(client, KEY)
@@ -67,6 +69,7 @@ def test_key_expansion(ctx):
         assert got == want[r], f"round key {r}"
 
 
+@pytest.mark.slow
 def test_key_expansion_pk_rcon(ctx):
     """Reference-faithful schedule: public-key RCON (server.rs:139-140)."""
     client, dkeys = ctx

@@ -170,7 +170,7 @@ def main(argv=None) -> int:
     round_keys = fhe_aes.aes_key_expansion_jit(
         dkeys, jnp.asarray(enc_key),
         None if rcon is None else jnp.asarray(rcon))
-    round_keys = jax.block_until_ready(round_keys)
+    round_keys = profiling.device_fence(round_keys)
     t_exp = time.time() - t0
     print(f"[server] AES key expansion took: {t_exp:.2f}s")
 
@@ -178,7 +178,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     ks = fhe_aes.ctr_keystream(dkeys, round_keys, jnp.asarray(enc_iv), n,
                                offset=0)
-    ks = jax.block_until_ready(ks)
+    ks = profiling.device_fence(ks)
     t_ctr = time.time() - t0
     pbs_count = n * profiling.count_pbs_per_block(params)
     print(f"[server] AES of #{n} outputs computed in: {t_ctr:.2f}s "

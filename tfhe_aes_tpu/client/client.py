@@ -95,11 +95,11 @@ class Client:
         return aes_plain.bytes_be_to_u128(
             [self.decrypt_byte(state[i]) for i in range(16)])
 
-    def decrypt_and_verify_ctr(self, states: np.ndarray, key: int, iv: int
-                               ) -> list[int]:
-        """states [n, 16, 8, big+1]; asserts block i == AES(key, iv+i)
+    def decrypt_and_verify_ctr(self, states: np.ndarray, key: int, iv: int,
+                               offset: int = 0) -> list[int]:
+        """states [n, 16, 8, big+1]; asserts block i == AES(key, iv+offset+i)
         (client_decrypt_and_verify, client.rs:147-175)."""
-        want = aes_plain.ctr_keystream(key, iv, states.shape[0])
+        want = aes_plain.ctr_keystream(key, iv + offset, states.shape[0])
         got = [self.decrypt_state_u128(states[i])
                for i in range(states.shape[0])]
         for i, (g, w) in enumerate(zip(got, want)):
@@ -131,12 +131,13 @@ class Client:
 
         return np.asarray(jax.device_get(dec(states)))
 
-    def verify_ctr_device(self, states, key: int, iv: int) -> list[int]:
+    def verify_ctr_device(self, states, key: int, iv: int,
+                          offset: int = 0) -> list[int]:
         """Device-resident states [n,16,8,big+1] -> verify vs plaintext AES
         without moving ciphertexts off the chip."""
         bits = self.decrypt_bits_device(states).astype(np.int64)  # [n,16,8]
         n = bits.shape[0]
-        want = aes_plain.ctr_keystream(key, iv, n)
+        want = aes_plain.ctr_keystream(key, iv + offset, n)
         byts = (bits << np.arange(8)).sum(axis=-1)                # [n,16]
         got = [aes_plain.bytes_be_to_u128([int(b) for b in byts[i]])
                for i in range(n)]

@@ -15,6 +15,8 @@ the hot loop in the dp-only configuration.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -31,12 +33,33 @@ def make_mesh(n_dp: int | None = None, n_mp: int = 1,
     return Mesh(dev, axis_names=("dp", "mp"))
 
 
-def shard_keys(mesh: Mesh, keys: DeviceKeys) -> DeviceKeys:
-    """Replicate evaluation keys onto every device of the mesh."""
+def shard_keys(mesh: Mesh, keys: DeviceKeys,
+               shard_contractions: bool = False) -> DeviceKeys:
+    """Stage evaluation keys onto the mesh.
+
+    Default: replicate everything (the all-gather-at-init pattern; no
+    collective rides the hot loop).  shard_contractions=True is the
+    BASELINE config-#5 layout — sharded LUT evaluation with collective
+    reduction: the keyswitch keys' contraction axes are sharded over 'mp'
+    (KSK rows [big*ks_level, ...], PFPKSK rows [(big+1)*pfks_level, ...]),
+    so GSPMD turns every extract-bits / circuit-bootstrap keyswitch matmul
+    into per-device partial sums reduced with an all-reduce over 'mp',
+    and per-device key memory drops by the mp factor (~700 MB of the
+    ~1.2 GB total at production parameters, SURVEY.md 2b).  The BSK stays
+    replicated: the Pallas blind-rotate kernel consumes whole rows.
+    """
     rep = NamedSharding(mesh, P())
-    arrays, treedef = jax.tree_util.tree_flatten(keys)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jax.device_put(a, rep) for a in arrays])
+    row = NamedSharding(mesh, P("mp"))
+    sharded_fields = {"ksk_limbs", "pfpksk_limbs"} if shard_contractions \
+        else set()
+    updates = {}
+    for f in dataclasses.fields(keys):
+        if f.metadata.get("static"):
+            continue
+        a = getattr(keys, f.name)
+        updates[f.name] = jax.device_put(
+            a, row if f.name in sharded_fields else rep)
+    return dataclasses.replace(keys, **updates)
 
 
 def sharded_ctr_fn(mesh: Mesh, keys: DeviceKeys, n_blocks: int,
@@ -58,9 +81,18 @@ def sharded_ctr_fn(mesh: Mesh, keys: DeviceKeys, n_blocks: int,
     def run(round_keys, enc_iv, lut_lsb, luts_rest):
         state = jax.numpy.broadcast_to(enc_iv[None],
                                        (n_blocks,) + enc_iv.shape)
+        # The ripple-add stays dp-only: it walks the 16 bytes sequentially
+        # (one dynamic-update-slice per step), so 'mp' can't help it — and
+        # constraining the byte axis to 'mp' BEFORE the fori_loop made
+        # GSPMD miscompile the dynamic-update-slice on the sharded dim
+        # (silently wrong keystream; caught by the value-checked dryrun).
+        # Bytes shard over 'mp' only for the AES rounds, whose WoPBS
+        # batches all 16 bytes at once.
+        state = jax.lax.with_sharding_constraint(
+            state, NamedSharding(mesh, P("dp")))
+        state = fhe_aes.add_scalar_device(keys, state, lut_lsb, luts_rest)
         state = jax.lax.with_sharding_constraint(
             state, NamedSharding(mesh, state_spec))
-        state = fhe_aes.add_scalar_device(keys, state, lut_lsb, luts_rest)
         return fhe_aes.aes_encrypt(keys, round_keys, state)
 
     return jax.jit(

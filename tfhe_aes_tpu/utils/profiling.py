@@ -54,6 +54,19 @@ def device_trace(log_dir: str | None):
         jax.profiler.stop_trace()
 
 
+def device_fence(x):
+    """Honest completion fence for timing: block_until_ready PLUS a tiny
+    device->host read.  Tunneled TPU backends (axon) have returned from
+    block_until_ready at enqueue time; a D2H read of one element cannot
+    complete before the producing program does."""
+    import numpy as np
+    import jax
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[-1:]))
+    return x
+
+
 def count_pbs_per_block(params) -> int:
     """PBS-class bootstraps per AES-128 CTR block in this framework.
 
