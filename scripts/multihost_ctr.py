@@ -119,7 +119,7 @@ def worker(args) -> None:
     # Every process verifies the blocks it owns (global indices from the
     # addressable shards) — the reference verifies every block likewise
     # (client.rs:147-175).
-    n_ok = 0
+    verified = set()
     for shard in out.addressable_shards:
         blk0 = shard.index[0].start or 0
         data = np.asarray(shard.data)
@@ -129,10 +129,10 @@ def worker(args) -> None:
                 aes_plain.u128_to_bytes_be(KEY),
                 aes_plain.u128_to_bytes_be((IV + blk0 + i) % (1 << 128))))
             assert got == want, f"block {blk0 + i}: {got:#x} != {want:#x}"
-            n_ok += 1
+            verified.add(blk0 + i)
     print(json.dumps({
         "process": args.process_id, "procs": args.procs,
-        "blocks": B, "verified_local": n_ok,
+        "blocks": B, "verified_local": sorted(verified),
         "seconds": round(dt, 3),
         "blocks_per_min": round(B / dt * 60.0, 2),
         "shard_keys": bool(args.shard_keys),
@@ -169,11 +169,14 @@ def launch(args) -> int:
             outs.extend(json.loads(ln) for ln in out.splitlines()
                         if ln.startswith("{"))
         bpm = max(o["blocks_per_min"] for o in outs)
-        verified = sum(o["verified_local"] for o in outs)
-        assert verified == args.blocks, (verified, args.blocks)
+        verified = set()
+        for o in outs:
+            verified.update(o["verified_local"])
+        assert verified == set(range(args.blocks)), (
+            sorted(verified), args.blocks)
         results[procs] = bpm
         print(f"# procs={procs}: {bpm:.2f} blocks/min, "
-              f"{verified}/{args.blocks} blocks verified", flush=True)
+              f"{len(verified)}/{args.blocks} blocks verified", flush=True)
     if args.scaling and 1 in results:
         eff = results[args.procs] / (results[1] * args.procs)
         print(json.dumps({

@@ -71,9 +71,19 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         fp24 = consts_ref[k, 2]
         inv_p = invp_ref[k, 0]
 
-        def barrett(t):
+        def barrett(t, clamp=True):
+            """Balanced reduction mod p via f32-reciprocal quotient.
+
+            The f32 rounding of t and of t*inv_p puts q within +-1 of the
+            true nearest quotient, so the raw remainder satisfies
+            |r| <= 1.5p.  clamp=False skips the two correction selects —
+            legal whenever the consumer tolerates |r| <= 1.5p (bounds are
+            argued at each call site); clamp=True returns canonical
+            balanced |r| <= p/2."""
             q = jnp.round(t.astype(jnp.float32) * inv_p).astype(I32)
             r = t - q * p
+            if not clamp:
+                return r
             half = (p - 1) >> 1   # // 2 strongly promotes to i64 under x64
             r = jnp.where(r > half, r - p, r)
             return jnp.where(r < -half, r + p, r)
@@ -132,6 +142,8 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
 
         # Static unroll over the R gadget rows: Mosaic needs provably
         # 8-aligned sublane offsets, which constant indices satisfy.
+        # (Per-j [TB, N] ops: a broadcast [J, TB, N] formulation measured
+        # ~1.3x SLOWER on a v5e — Mosaic tiles the smaller shapes better.)
         for r in range(r_rows):
             dr = dhat[r].astype(I32)                         # [TB, N]
             for j in range(kp1):
@@ -141,22 +153,34 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                 s_hi[j] += dr * ghi
 
         # -- recombine limb products, twiddle-rotate, split for the INTT ----
-        tw = tw_ref[0].astype(I32)                           # [TB, N]
+        # Clamp analysis (p < 46341 = 2^15.5):
+        #   s_hi unclamped barrett: |.| <= 1.5p -> *256 <= 2^25.1, safe add;
+        #   prod unclamped: |prod| <= 1.5p; |tw-1| <= p/2 + 1 ->
+        #   |(tw-1)*prod| <= 1.5p*(p/2+1) < 1.61e9 < 2^31 - 1: no overflow.
+        #   delta IS clamped: the int8 limb split needs |delta| <= p/2.
+        tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
         for j in range(kp1):
-            r_hi = barrett(barrett(s_hi[j]) * jnp.int32(256))
-            prod = barrett(s_lo[j] + r_hi)                   # [TB, N] bal
-            delta = barrett(tw * prod - prod)
+            r_hi = barrett(barrett(s_hi[j], clamp=False) * jnp.int32(256),
+                           clamp=False)
+            prod = barrett(s_lo[j] + r_hi, clamp=False)      # [TB, N]
+            delta = barrett(tw1 * prod)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
             l8 = delta - (h8 << jnp.int32(8))
             x8[j * tb:(j + 1) * tb, :n] = l8.astype(jnp.int8)
             x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
 
         # -- inverse NTT + explicit CRT accumulation ------------------------
+        # Unclamped barretts: |r_hi| <= 1.5p -> <<8 <= 2^25.1 (+ zz_lo 2^24
+        # stays int32-safe); |z| <= 1.5p, so the sign fix gives
+        # y in [0, 1.5p) < 2^16.2 — the CRT limb products (y * 8-bit) stay
+        # < 2^24.2 and the fp24 alpha product < 2^26, both in budget, and
+        # the explicit-CRT identity is invariant under y -> y + p (the
+        # alpha sum shifts by exactly 1).
         zz = jax.lax.dot_general(
             x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=I32)                      # [J*TB, 2N]
-        r_hi = barrett(zz[:, n:])
-        z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)))
+        r_hi = barrett(zz[:, n:], clamp=False)
+        z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)), clamp=False)
         y = jnp.where(z < 0, z + p, z)                       # [J*TB, N]
         alpha[...] += y * fp24
 
