@@ -239,9 +239,14 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
 
 def _resolve_tb(n_batch: int) -> int:
     """Tile size for the batch axis (env TFHE_AES_TPU_PALLAS_TB, read at
-    trace time — later env changes don't affect already-jitted callers)."""
+    trace time — later env changes don't affect already-jitted callers).
+
+    Default 128: the v5e sweep (scripts/tpu_kernel_ablate.py, batch 2048)
+    measured 2.14 s/rotate at tb=128 vs 2.57 s at 256 and 8.9 s at 512 —
+    smaller tiles keep the per-cell scratch working set inside Mosaic's
+    sweet spot."""
     import os
-    tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "256"))
+    tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "128"))
     for tb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if tb <= tb_max and n_batch % tb == 0:
             return tb
