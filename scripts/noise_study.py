@@ -99,7 +99,7 @@ def main() -> int:
         p, np.arange(256, dtype=np.uint64)[None], 8))
     t0 = time.time()
     out = np.asarray(wopbs.many_wopbs_jit(dkeys, jnp.asarray(cts), ident))
-    ph = nb.lwe_phase(sk.big_lwe_key, out[:, 0])            # [B, 8] bits
+    ph = nb.lwe_phase(sk.big_lwe_key, out)                  # [B, 8] bits
     err = signed_err(ph, bb << U64(63))
     sig = float(np.std(err))
     mx = float(np.max(np.abs(err)))
