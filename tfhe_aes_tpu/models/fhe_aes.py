@@ -86,6 +86,14 @@ def _identity_lut(params) -> np.ndarray:
         params, np.arange(256, dtype=np.uint64)[None], 8)
 
 
+@functools.lru_cache(maxsize=None)
+def _refresh_sbox_lut(params) -> np.ndarray:
+    """Fused {identity, SBOX} stack for the 1-WoPBS key-expansion round:
+    L 0..7 = refreshed input bits, L 8..15 = SBOX output bits."""
+    return luts.lut_polys_from_tables(
+        params, np.stack([np.arange(256, dtype=np.uint64), tables.sbox()]), 8)
+
+
 def add_round_key(state, rk):
     """XOR = componentwise u64 LWE addition (server.rs:278-282)."""
     return state + rk
@@ -197,39 +205,50 @@ def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts=None, *,
     WoPBS (server.rs:150).
 
     Scheduling (TPU): one lax.scan over the 10 rounds.  With noise-free
-    RCON each round is TWO sequential WoPBS calls instead of the
-    reference's five (1 SubWord + 4 per-word refreshes, server.rs:131-154):
-    the four new words chain as leveled sums of fresh inputs —
+    RCON each round is ONE 16-byte WoPBS call instead of the reference's
+    five (1 SubWord + 4 per-word refreshes, server.rs:131-154): the four
+    new words chain as leveled sums of fresh inputs —
     n0 = w0 + sub (2), n1 = w1 + n0 (3), n2 = w2 + n1 (4),
-    n3 = w3 + n2 (5 = budget) — and refresh as ONE 16-byte (128-bit)
-    batch, which also tiles the fused blind-rotate kernel far better than
-    the 3-WoPBS schedule's 32..96-bit batches.  With fresh (level-1) RCON
-    the chain would hit 6, so n3 completes from the refreshed n2 in a
-    third WoPBS: n0 (3), n1 (4), n2 (5) -> refresh; n3 = w3 + n2' (2).
+    n3 = w3 + n2 (5 = budget) — and ONE many-LUT WoPBS (L=16: identity +
+    SBOX outputs per byte) both refreshes all 16 bytes AND evaluates the
+    NEXT round's SubWord on n3's shared circuit bootstraps.  SBOX sees n3
+    at level 5 — identical noise to the refresh input itself, within the
+    parameter budget — and n3's bits are circuit-bootstrapped once instead
+    of twice (the refresh reads the identity LUT, SubWord the SBOX LUT, off
+    the same GGSWs: the many-LUT split of many_wopbs.rs:28-30 applied to
+    the key schedule).  The 128-bit batch also tiles the fused blind-rotate
+    kernel exactly (tb=128).  With fresh (level-1) RCON the chain would hit
+    6, so n3 completes from the refreshed n2 in a separate WoPBS:
+    n0 (3), n1 (4), n2 (5) -> refresh; n3 = w3 + n2' (2).
     Budget discipline per README.md:176-180; both schedules are checked by
     the circuit-derived audit (utils/noise.py) and the oracle tests.
     """
     p = keys.params
     ident = jnp.asarray(_identity_lut(p))
     sbox_l = jnp.asarray(_sbox_lut(p, inv=False))
+    refresh_sbox_l = jnp.asarray(_refresh_sbox_lut(p))
     if rcon_fresh is None:
         rcon_fresh = rcon_cts is not None
     if rcon_cts is None:
         rcon_cts = jnp.asarray(trivial_rcon(p))
     rk0 = enc_key
 
-    def round_body_trivial(prev_rk, rcon):
+    def round_body_trivial(carry, rcon):
+        prev_rk, sub = carry   # sub = SBOX(RotWord(prev w3)), fresh (lvl 1)
+        temp = sub.at[0].add(rcon)                     # += trivial: still 1
         w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
-        temp = w[3][np.array([1, 2, 3, 0])]            # RotWord (free)
-        temp = wopbs.many_wopbs(keys, temp, sbox_l)    # SubWord (fresh)
-        temp = temp.at[0].add(rcon)                    # += trivial: still 1
         n0 = w[0] + temp                               # lvl 2 (byte 0)
         n1 = w[1] + n0                                 # lvl 3
         n2 = w[2] + n1                                 # lvl 4
         n3 = w[3] + n2                                 # lvl 5 = budget
-        new_rk = wopbs.many_wopbs(
-            keys, jnp.concatenate([n0, n1, n2, n3], axis=0), ident)
-        return new_rk, new_rk
+        out = wopbs.many_wopbs(
+            keys, jnp.concatenate([n0, n1, n2, n3], axis=0), refresh_sbox_l)
+        new_rk = out[:, :8]                            # identity outputs
+        # SBOX outputs of n3's bytes in RotWord order = next round's SubWord
+        # (the final round's value is computed and discarded — scan bodies
+        # are uniform; the waste is 4 of 16 vertical packings, no extra CBS).
+        next_sub = out[jnp.array([13, 14, 15, 12]), 8:]
+        return (new_rk, next_sub), new_rk
 
     def round_body_pk(prev_rk, rcon):
         w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
@@ -246,8 +265,14 @@ def aes_key_expansion(keys: DeviceKeys, enc_key, rcon_cts=None, *,
         new_rk = jnp.concatenate([fresh, n3], axis=0)  # [16, 8, big+1]
         return new_rk, new_rk
 
-    body = round_body_pk if rcon_fresh else round_body_trivial
-    _, rks = jax.lax.scan(body, rk0, rcon_cts)
+    if rcon_fresh:
+        _, rks = jax.lax.scan(round_body_pk, rk0, rcon_cts)
+    else:
+        # Prologue SubWord on the (fresh, level-1) client key's last word;
+        # every later SubWord rides the fused round WoPBS above.
+        w3 = rk0.reshape(4, 4, 8, rk0.shape[-1])[3]
+        sub0 = wopbs.many_wopbs(keys, w3[np.array([1, 2, 3, 0])], sbox_l)
+        (_, _), rks = jax.lax.scan(round_body_trivial, (rk0, sub0), rcon_cts)
     return jnp.concatenate([rk0[None], rks], axis=0)
 
 

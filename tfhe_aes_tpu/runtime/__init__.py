@@ -42,8 +42,16 @@ def get_lib():
             return None
     try:
         lib = ctypes.CDLL(str(_SO))
-    except OSError:
-        return None
+        lib.chacha20_fill_u64  # newest symbol: probe for a stale binary
+    except (OSError, AttributeError):
+        # Stale .so (e.g. built from an older native.cpp on another
+        # machine, where checkout mtimes hide the skew): rebuild once.
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
     lib.signed_limbs_u64.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
     lib.balanced_residues_u64.argtypes = [
