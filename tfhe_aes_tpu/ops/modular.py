@@ -18,35 +18,8 @@ mandatory on TPU, where f64 is emulated and f32 lacks the mantissa for a
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-
 import numpy as np
 import jax.numpy as jnp
-
-from ..utils import crt
-
-
-@dataclasses.dataclass(frozen=True)
-class PrimeConsts:
-    """Per-prime constants staged as (stacked) device scalars."""
-    primes: tuple[int, ...]
-
-    @functools.cached_property
-    def p_i32(self) -> np.ndarray:
-        return np.array(self.primes, dtype=np.int32)
-
-    @functools.cached_property
-    def inv_f32(self) -> np.ndarray:
-        return (1.0 / np.array(self.primes, dtype=np.float64)).astype(np.float32)
-
-    @property
-    def count(self) -> int:
-        return len(self.primes)
-
-
-DEFAULT_PRIMES = crt.ntt_primes()
-DEFAULT_CONSTS = PrimeConsts(DEFAULT_PRIMES)
 
 
 def barrett_reduce(t: jnp.ndarray, p, inv_p) -> jnp.ndarray:
@@ -63,11 +36,6 @@ def barrett_reduce(t: jnp.ndarray, p, inv_p) -> jnp.ndarray:
     r = jnp.where(r > half, r - p, r)
     r = jnp.where(r < -half, r + p, r)
     return r
-
-
-def mul_mod(a: jnp.ndarray, b: jnp.ndarray, p, inv_p) -> jnp.ndarray:
-    """Balanced modular product; |a|,|b| <= p (relaxed) -> |a*b| < 2^31."""
-    return barrett_reduce(a * b, p, inv_p)
 
 
 def to_balanced_limbs2(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

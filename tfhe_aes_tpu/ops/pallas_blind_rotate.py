@@ -68,7 +68,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
-        fp24 = consts_ref[k, 2]
+        fp24 = consts_ref[k, 1]
         inv_p = invp_ref[k, 0]
 
         def barrett(t, clamp=True):
@@ -188,7 +188,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         a_lo = acc64_lo[...]
         a_hi = acc64_hi[...]
         for i in range(8):
-            pp = yu * consts_ref[k, 3 + i].astype(U32)       # < 2^24
+            pp = yu * consts_ref[k, 2 + i].astype(U32)       # < 2^24
             if i < 4:
                 lopart = pp << _u32c(8 * i)
                 hipart = pp >> _u32c(32 - 8 * i) if i > 0 else _u32c(0) * pp
@@ -244,13 +244,17 @@ def _resolve_tb(n_batch: int) -> int:
     Default 128: the v5e sweep (scripts/tpu_kernel_ablate.py, batch 2048)
     measured 2.14 s/rotate at tb=128 vs 2.57 s at 256 and 8.9 s at 512 —
     smaller tiles keep the per-cell scratch working set inside Mosaic's
-    sweet spot."""
+    sweet spot.
+
+    Mosaic requires the tile's sublane dim be a multiple of 8 OR equal to
+    the full array dim, so small/odd batches (e.g. the 9-wide ripple-carry
+    WoPBS) fall back to one full-batch tile."""
     import os
     tb_max = int(os.environ.get("TFHE_AES_TPU_PALLAS_TB", "128"))
-    for tb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+    for tb in (512, 256, 128, 64, 32, 16, 8):
         if tb <= tb_max and n_batch % tb == 0:
             return tb
-    return 1
+    return n_batch
 
 
 @functools.lru_cache(maxsize=None)
@@ -284,7 +288,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         num_scalar_prefetch=0,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pcount, 11), lambda t, k: _i(0, 0),
+            pl.BlockSpec((pcount, 10), lambda t, k: _i(0, 0),
                          memory_space=pltpu.SMEM),            # consts
             pl.BlockSpec((1, 8), lambda t, k: _i(0, 0),
                          memory_space=pltpu.SMEM),            # m64 bytes
@@ -314,18 +318,13 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         ],
     )
 
-    consts = np.zeros((pcount, 11), np.int32)
+    consts = np.zeros((pcount, 10), np.int32)
     for k in range(pcount):
         consts[k, 0] = plan.p_i32[k]
-        consts[k, 1] = int(np.asarray(
-            # balanced(2^16 mod p)
-            ((1 << 16) % int(plan.p_i32[k]))))
-        if consts[k, 1] > plan.p_i32[k] // 2:
-            consts[k, 1] -= plan.p_i32[k]
-        consts[k, 2] = (1 << 24) // int(plan.p_i32[k])        # fp24
+        consts[k, 1] = (1 << 24) // int(plan.p_i32[k])        # fp24
         mk = int(plan.mk64[k])
         for i in range(8):
-            consts[k, 3 + i] = (mk >> (8 * i)) & 0xFF
+            consts[k, 2 + i] = (mk >> (8 * i)) & 0xFF
     m64b = np.array([[(int(plan.m64) >> (8 * i)) & 0xFF for i in range(8)]],
                     np.int32)
     invp = (1.0 / np.asarray(plan.p_i32, np.float64)).astype(

@@ -151,7 +151,17 @@ class Csprng:
         return out.reshape(shape) if shape else out[0]
 
     def normal(self, loc=0.0, scale=1.0, size=None):
-        """Box-Muller from keystream uniforms."""
+        """Box-Muller from keystream uniforms.
+
+        Tail bound: u1 is built from 53 keystream bits, so the largest
+        magnitude this transform can emit is sqrt(-2 ln 2^-53) ~ 8.57 sigma.
+        That truncation only REMOVES noise mass beyond 8.57 sigma (~1e-18 of
+        it), i.e. generated noise is never larger than an ideal Gaussian's —
+        conservative relative to the p_fail ~ 2^-64 (~9.15 sigma) decryption
+        margin the parameters were optimized for (client.rs:26-30), which
+        bounds the |accumulated noise| of *evaluated* ciphertexts, not a
+        single fresh sample.  tfhe-rs's Box-Muller sampling has the same
+        property."""
         n, shape = self._size_to_n(size)
         m = (n + 1) // 2
         # u1 in (0, 1]: never 0, so log(u1) is finite.

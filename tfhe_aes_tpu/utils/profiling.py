@@ -1,57 +1,12 @@
 """Timing / throughput observability.
 
 The reference's entire telemetry is two wall-clock printlns (main.rs:48-67);
-here: scoped timers, a PBS counter (the north-star kernel metric), and an
-optional jax.profiler trace context for TPU timeline capture.
+here: an honest device completion fence and the ONE PBS-per-block accounting
+used by cli.py and bench.py.  (jax.profiler timeline capture lives in
+scripts/tpu_profile_pbs.py.)
 """
 
 from __future__ import annotations
-
-import contextlib
-import time
-
-
-class Metrics:
-    """Process-wide counters: PBS-class bootstraps, WoPBS calls, timings."""
-
-    def __init__(self):
-        self.counters: dict[str, float] = {}
-
-    def add(self, name: str, value: float = 1.0) -> None:
-        self.counters[name] = self.counters.get(name, 0.0) + value
-
-    def pbs_rate(self, seconds: float) -> float:
-        return self.counters.get("pbs", 0.0) / max(seconds, 1e-9)
-
-    def summary(self) -> dict[str, float]:
-        return dict(self.counters)
-
-
-METRICS = Metrics()
-
-
-@contextlib.contextmanager
-def timer(name: str, metrics: Metrics = METRICS, verbose: bool = False):
-    t0 = time.time()
-    yield
-    dt = time.time() - t0
-    metrics.add(f"time/{name}", dt)
-    if verbose:
-        print(f"[timer] {name}: {dt:.3f}s")
-
-
-@contextlib.contextmanager
-def device_trace(log_dir: str | None):
-    """jax.profiler trace (TensorBoard-compatible) when log_dir is given."""
-    if not log_dir:
-        yield
-        return
-    import jax
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
 
 
 def device_fence(x):
