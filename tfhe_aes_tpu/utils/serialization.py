@@ -28,20 +28,31 @@ def default_cache_dir() -> pathlib.Path:
         "TFHE_AES_TPU_CACHE", os.path.expanduser("~/.cache/tfhe_aes_tpu")))
 
 
-def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys) -> None:
+def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys, *,
+              interchange: bool = False) -> None:
+    """Persist secret + packed evaluation keys.
+
+    Default (v2) stores the BSK in the exact device operand layout (int8
+    limb rows) so a warm load is mmap + upload with ZERO host math — the
+    v1 int16-residue conversion cost ~240 s per process start.
+    ``interchange=True`` writes the v1 int16-NTT-residue format instead,
+    which is stable across device-layout changes (both load back).
+    """
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if interchange:
+        bsk_fields = dict(bsk_ntt=_bsk_limbs_to_residues(dkeys))
+    else:
+        bsk_fields = dict(bsk_limbs=np.asarray(dkeys.bsk_limbs))
     np.savez(
         path,
         params_name=np.array(sk.params.name),
         primes=np.array(dkeys.plan.primes, dtype=np.int64),
         lwe_key=sk.lwe_key,
         glwe_key=sk.glwe_key,
-        # Serialized format: int16 NTT residues [n, P, R, k+1, N] — stable
-        # across device-layout changes; converted on load.
-        bsk_ntt=_bsk_limbs_to_residues(dkeys),
         ksk_limbs=np.asarray(dkeys.ksk_limbs),
         pfpksk_limbs=np.asarray(dkeys.pfpksk_limbs),
+        **bsk_fields,
     )
 
 
@@ -62,10 +73,14 @@ def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
                     np.asarray(z["glwe_key"]))
     plan = ntt.make_plan(params.polynomial_size,
                          tuple(int(p) for p in z["primes"]))
-    from ..ops.keys import bsk_residues_to_device
+    if "bsk_limbs" in z.files:                # v2: device layout, zero math
+        bsk_limbs = z["bsk_limbs"]            # one zip read (~3 s / 514 MB)
+    else:                                     # v1 interchange: int16 residues
+        from ..ops.keys import bsk_residues_to_device
+        bsk_limbs = bsk_residues_to_device(np.asarray(z["bsk_ntt"]))
     dkeys = DeviceKeys(
         params=params, plan=plan,
-        bsk_limbs=bsk_residues_to_device(np.asarray(z["bsk_ntt"])),
+        bsk_limbs=bsk_limbs,
         ksk_limbs=np.asarray(z["ksk_limbs"]),
         pfpksk_limbs=np.asarray(z["pfpksk_limbs"]),
         fwd_limbs=plan.fwd_limbs,
