@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     print(f"# device: {dev}, params: {params.name}, blocks: {args.blocks}",
           file=sys.stderr)
 
-    cache = serialization.default_cache_dir() / f"{params.name}_seed0.npz"
+    cache = serialization.cache_path(params, 0)
     t0 = time.time()
     if cache.exists():
         sk, dkeys = serialization.load_keys(cache)

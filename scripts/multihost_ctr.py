@@ -142,6 +142,11 @@ def worker(args) -> None:
 def launch(args) -> int:
     port = 37741 + (os.getpid() % 1000)
     results = {}
+    n_cores = os.cpu_count() or 1
+    if args.pin_cores and args.procs > n_cores:
+        print(f"# --pin-cores needs >= {args.procs} cores, have {n_cores}",
+              file=sys.stderr)
+        return 2
     for procs in ([1, args.procs] if args.scaling else [args.procs]):
         outs = []
         children = []
@@ -159,6 +164,14 @@ def launch(args) -> int:
                    "--devices-per-proc", str(args.devices_per_proc)]
             if args.shard_keys:
                 cmd.append("--shard-keys")
+            if args.pin_cores:
+                # One distinct core per emulated host: without pinning, the
+                # 1-proc baseline already saturates every core via XLA's
+                # intra-op threads and the N-proc run can't show real
+                # scaling on a single machine.  Pinned, each "host" gets
+                # 1/N of the hardware and the efficiency number measures
+                # what it should: SPMD + collective overhead.
+                cmd = ["taskset", "-c", str(pid % n_cores)] + cmd
             children.append(subprocess.Popen(
                 cmd, env=env, stdout=subprocess.PIPE, text=True, cwd=REPO))
         for c in children:
@@ -202,6 +215,9 @@ def main() -> int:
                          "(sharded LUT evaluation + all-reduce)")
     ap.add_argument("--scaling", action="store_true",
                     help="also run 1 process and report scaling efficiency")
+    ap.add_argument("--pin-cores", action="store_true",
+                    help="pin each worker to its own CPU core (honest "
+                         "single-machine scaling emulation)")
     ap.add_argument("--timeout", type=int, default=1200)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--coordinator", default=None)

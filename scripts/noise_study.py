@@ -57,7 +57,7 @@ def main() -> int:
     from tfhe_aes_tpu.ops import cbs, wopbs, lwe as lwe_mod
 
     p = PARAM_OPT
-    cache = serialization.default_cache_dir() / "PARAM_OPT_seed0.npz"
+    cache = serialization.cache_path(PARAM_OPT, 0)
     sk, dkeys = serialization.load_keys(cache)
     client = Client(p, seed=0)
     client.sk = sk

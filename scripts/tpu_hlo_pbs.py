@@ -18,7 +18,7 @@ def main():
     from tfhe_aes_tpu.utils import serialization
     from tfhe_aes_tpu.ops import cbs
 
-    cache = serialization.default_cache_dir() / "PARAM_OPT_seed0.npz"
+    cache = serialization.cache_path(PARAM_OPT, 0)
     sk, dkeys = serialization.load_keys(cache)
 
     flat = jnp.zeros((128, PARAM_OPT.lwe_dimension + 1), jnp.uint64)

@@ -223,7 +223,7 @@ def main():
     from tfhe_aes_tpu.backend import numpy_backend as nb
     from tfhe_aes_tpu.ops import pallas_blind_rotate as pbr
 
-    cache = serialization.default_cache_dir() / "PARAM_OPT_seed0.npz"
+    cache = serialization.cache_path(PARAM_OPT, 0)
     sk, dkeys = serialization.load_keys(cache)
     client = Client(PARAM_OPT, seed=0)
     client.sk = sk

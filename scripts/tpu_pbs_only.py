@@ -22,7 +22,7 @@ def main():
     from tfhe_aes_tpu.ops import cbs
     from tfhe_aes_tpu.utils import torus
 
-    cache = serialization.default_cache_dir() / "PARAM_OPT_seed0.npz"
+    cache = serialization.cache_path(PARAM_OPT, 0)
     sk, dkeys = serialization.load_keys(cache)
     client = Client(PARAM_OPT, seed=0)
     client.sk = sk

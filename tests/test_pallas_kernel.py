@@ -1,7 +1,9 @@
 """Fused Pallas blind-rotate kernel vs the XLA fallback — bit-exact.
 
-Both paths implement the same math on the same key material (see
-ops/blind_rotate.py); the Pallas kernel runs here in interpret mode (CPU).
+Both paths implement the same mod-2^q' rotate-domain math on the same key
+material (see ops/blind_rotate.py item 3); the Pallas kernel runs here in
+interpret mode (CPU).  PARAM_TOY exercises q'=32 (hi accumulator plane
+unused), PARAM_TOY_L5 the production-shaped q'=40 two-plane path.
 """
 
 import dataclasses
@@ -19,9 +21,9 @@ from tfhe_aes_tpu.utils import torus
 
 U64 = np.uint64
 
-# PARAM_TOY has pbs_base_log*pbs_level == 32 (the kernel's shift==32 decompose
-# special case).  This variant exercises the production-shaped shift<32 path
-# (40 digit bits, cross-limb extraction) that PARAM_OPT uses.
+# PARAM_TOY has pbs_base_log*pbs_level == 32 (single-plane accumulator).
+# This variant exercises the production-shaped q'=40 path (40 digit bits,
+# hi-plane extraction) that PARAM_OPT uses.
 PARAM_TOY_L5 = dataclasses.replace(PARAM_TOY, name="PARAM_TOY_L5",
                                    pbs_level=5)
 
@@ -58,31 +60,31 @@ def test_pallas_matches_xla(ctx, n_batch):
     bits, small, test = _inputs(client, n_batch)
 
     want = jax.jit(blind_rotate.blind_rotate, static_argnums=(0, 1))(
-        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
-        jnp.asarray(dkeys.fwd_limbs), jnp.asarray(dkeys.fwd_full),
-        jnp.asarray(dkeys.inv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.rfwd_limbs), jnp.asarray(dkeys.fwd_full),
+        jnp.asarray(dkeys.rinv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
         jnp.asarray(dkeys.rot_table))
     got = pallas_blind_rotate.blind_rotate_pallas(
-        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
         jnp.asarray(dkeys.fwd_full), jnp.asarray(dkeys.inv_crt_full),
         jnp.asarray(dkeys.rot_table), interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_pallas_matches_xla_shift24(ctx_l5):
-    """The shift<32 decompose branch (production PARAM_OPT shape)."""
+def test_pallas_matches_xla_q40(ctx_l5):
+    """The q'=40 two-plane decompose branch (production PARAM_OPT shape)."""
     client, dkeys = ctx_l5
     p = client.params
     bits, small, test = _inputs(client, 3)
 
     want = jax.jit(blind_rotate.blind_rotate, static_argnums=(0, 1))(
-        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
-        jnp.asarray(dkeys.fwd_limbs), jnp.asarray(dkeys.fwd_full),
-        jnp.asarray(dkeys.inv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.rfwd_limbs), jnp.asarray(dkeys.fwd_full),
+        jnp.asarray(dkeys.rinv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
         jnp.asarray(dkeys.rot_table))
     got = pallas_blind_rotate.blind_rotate_pallas(
-        dkeys.plan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
         jnp.asarray(dkeys.fwd_full), jnp.asarray(dkeys.inv_crt_full),
         jnp.asarray(dkeys.rot_table), interpret=True)
 

@@ -143,8 +143,7 @@ def main(argv=None) -> int:
           f"(n={params.lwe_dimension}, k={params.glwe_dimension}, "
           f"N={params.polynomial_size})")
 
-    cache = serialization.default_cache_dir() / (
-        f"{params.name}_seed{args.seed}.npz")
+    cache = serialization.cache_path(params, args.seed)
     t0 = time.time()
     if not args.no_cache and args.seed is not None and cache.exists():
         from .backend import numpy_backend as nb

@@ -113,20 +113,39 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
     """Device-accelerated equivalent of keys.make_device_keys."""
     p = sk.params
     plan = ntt.make_plan(p.polynomial_size, primes or crt.ntt_primes())
+    rplan = keys_mod.make_rotate_plan(p)
 
     bsk = bsk_gen_fast(sk, rng, plan)
     ksk = nb.ksk_gen(sk, rng)          # LWE-level: already cheap on host
     pfp = pfpksk_gen_fast(sk, rng, plan)
 
-    # BSK NTT staging on device, preserving pack_bsk's layout.
+    # BSK NTT staging on device, preserving pack_bsk's layout and values:
+    # round to the rotate domain's q' bits, take balanced residues of the
+    # scaled-back value, unscale by (2^(64-q'))^-1 mod p (== host
+    # poly_to_ntt_residues_host's shift trick), forward NTT.
     n_lwe, lev, kp1, _, n = bsk.shape
     rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, n)
-    fwd = jnp.asarray(plan.fwd_limbs)
+    rfwd = jnp.asarray(rplan.fwd_limbs)
+    q = rplan.q_bits
+    from ..ops import modular
+    inv2s = np.stack([modular.host_balanced(
+        pow(pow(2, 64 - q, pk), pk - 2, pk), pk)
+        for pk in rplan.primes]).astype(np.int32) if q < 64 else None
+    p_c = rplan.p_i32.reshape(-1, 1, 1)
+    ip_c = rplan.inv_f32.reshape(-1, 1, 1)
 
     @jax.jit
     def stage(x):
-        res = ntt.u64_to_residues(plan, x)
-        return ntt.ntt_fwd_residues(plan, res, fwd).astype(jnp.int16)
+        if q < 64:
+            x = (x + (jnp.uint64(1) << jnp.uint64(63 - q))) \
+                >> jnp.uint64(64 - q)
+            x = x << jnp.uint64(64 - q)
+        res = ntt.u64_to_residues(rplan, x)             # [P, M, N] balanced
+        if q < 64:   # |res * inv2| <= (p/2)^2 < 2^30: one Barrett
+            res = modular.barrett_reduce(
+                res * jnp.asarray(inv2s).reshape(-1, 1, 1),
+                jnp.asarray(p_c), jnp.asarray(ip_c))
+        return ntt.ntt_fwd_residues(rplan, res, rfwd).astype(jnp.int16)
 
     outs = []
     chunk = 16384
@@ -134,17 +153,19 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
         outs.append(np.asarray(stage(jnp.asarray(rows[lo:lo + chunk]))))
     res = np.concatenate(outs, axis=1)                  # [P, M, N]
     bsk_ntt = np.ascontiguousarray(
-        res.reshape(plan.n_primes, n_lwe, kp1 * lev, kp1, n)
+        res.reshape(rplan.n_primes, n_lwe, kp1 * lev, kp1, n)
         .transpose(1, 0, 2, 3, 4).astype(np.int16))
 
     return keys_mod.DeviceKeys(
-        params=p, plan=plan,
+        params=p, plan=plan, rplan=rplan,
         bsk_limbs=keys_mod.bsk_residues_to_device(bsk_ntt),
         ksk_limbs=keys_mod.pack_ksk(p, ksk),
         pfpksk_limbs=keys_mod.pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
-        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
-        inv_crt_full=ntt.inv_crt_full_host(plan),
-        rot_table=plan.rot_table,
+        rfwd_limbs=rplan.fwd_limbs,
+        rinv_crt_limbs=rplan.inv_crt_limbs,
+        fwd_full=ntt.fwd_full_host(rplan),
+        inv_crt_full=ntt.inv_crt_full_host(rplan),
+        rot_table=rplan.rot_table,
     )

@@ -27,9 +27,31 @@ verified bit-exact against the plaintext oracle):
 
 2. On TPU the whole CMux step runs as ONE fused Pallas kernel
    (ops/pallas_blind_rotate.py) — decompose, NTT dots, MAC, twiddle, INTT,
-   CRT and the u64 accumulate never leave VMEM.  Elsewhere (CPU tests,
-   virtual multi-chip meshes) an equivalent XLA op pipeline runs the same
-   math on the same key layout.
+   CRT and the accumulate never leave VMEM.  Elsewhere (CPU tests, virtual
+   multi-chip meshes) an equivalent XLA op pipeline runs the same math on
+   the same key layout.
+
+3. The accumulator lives mod q' = 2^40 (ops/keys.make_rotate_plan), not
+   mod 2^64.  The gadget decomposition reads only the top base*level <= 40
+   bits of the accumulator, so a mod-q' accumulator loses nothing the
+   decomposition would ever see (at PARAM_OPT base*level == 40: the
+   decomposition becomes EXACT) — and the exact-CRT range shrinks from
+   2^84.6 to 2^60.6, which 4 big primes cover instead of 6
+   (utils/crt.rotate_primes): one third less MXU/VPU/HBM work per step.
+   Noise accounting for the three mod-switch artifacts (all in 2^64 scale,
+   vs the 2^57.6 fresh-output sigma budget — see NOISE_REPORT.md for the
+   measured totals):
+     a. the input accumulator is rounded once to q' bits: uniform error
+        <= 2^(63-q') = 2^23 (one-time, same size as ONE step's gadget
+        rounding in the old mod-2^64 loop, which rounded EVERY step);
+     b. the BSK is rounded once to q' bits at staging: per-coefficient
+        uniform +-2^23; accumulated over 669 CMux convolutions this is
+        sigma ~ 2^39.9 (ops/keys.pack_bsk) — 2^-17.7 of budget;
+     c. the output is scaled back by 2^(64-q'), which quantizes output
+        noise to multiples of 2^24 — bounded by a, above.
+   In exchange the per-step decomposition is EXACT (the old per-step
+   2^23-uniform rounding term vanishes), so total measured noise is
+   slightly LOWER than the mod-2^64 formulation's (NOISE_REPORT.md).
 """
 
 from __future__ import annotations
@@ -87,7 +109,9 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
                  rot_table: jnp.ndarray) -> jnp.ndarray:
     """lwe_u64: [B, n+1]; test_glwe_u64: [k+1, N] or [B, k+1, N].
 
-    Returns acc [B, k+1, N] u64 encrypting X^(-phase~) * test.
+    Returns acc [B, k+1, N] u64 encrypting X^(-phase~) * test.  `plan` is
+    the rotate plan (plan.q_bits = pbs_base_log * pbs_level); the loop runs
+    mod 2^q_bits and the result is scaled back to the 2^64 torus.
     """
     mode = _pallas_mode()
     if mode != "xla":
@@ -98,17 +122,21 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
     n_poly = params.polynomial_size
     two_n = 2 * n_poly
     kp1 = params.glwe_dimension + 1
+    q = plan.q_bits
+    assert params.pbs_base_log * params.pbs_level <= q <= 64
     tilde = lwe.modswitch(lwe_u64, two_n)            # [B, n+1] int32
     b_t = tilde[:, -1]
     if test_glwe_u64.ndim == 2:
         test_glwe_u64 = jnp.broadcast_to(
             test_glwe_u64[None], (lwe_u64.shape[0],) + test_glwe_u64.shape)
     acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
+    if q < 64:                                       # mod-switch once
+        acc0 = (acc0 + (U64(1) << U64(63 - q))) >> U64(64 - q)
     base_log, levels = params.pbs_base_log, params.pbs_level
     p_c, inv_c, _ = ntt._prime_consts(plan, 4)       # [P,1,1,1] broadcasts
 
     def body(i, acc):
-        digits = decompose.glwe_digits_flat(acc, base_log, levels)
+        digits = decompose.glwe_digits_flat(acc, base_log, levels, q)
         dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
         dl, dh = modular.to_balanced_limbs2(dhat)    # [P, B, R, N] int8
         g = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
@@ -118,6 +146,10 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
         tw = jnp.take(rot_table, a_i, axis=1)        # [P, B, N] row gather
         delta_hat = ntt.barrett_rotate_delta(plan, prod, tw, p_c, inv_c)
         delta = ntt.intt_crt_u64(plan, delta_hat, inv_crt_limbs)
-        return acc + delta
+        acc = acc + delta                            # intt masked mod 2^q
+        if q < 64:
+            acc = acc & U64((1 << q) - 1)
+        return acc
 
-    return jax.lax.fori_loop(0, params.lwe_dimension, body, acc0)
+    acc = jax.lax.fori_loop(0, params.lwe_dimension, body, acc0)
+    return acc << U64(64 - q) if q < 64 else acc

@@ -29,9 +29,9 @@ def pbs_boolean(keys: DeviceKeys, lwe_small_u64: jnp.ndarray,
     n = p.polynomial_size
     test = jnp.zeros((p.glwe_dimension + 1, n), U64)
     test = test.at[-1, :].set(U64(0) - (U64(1) << U64(out_scale_log - 1)))
-    acc = blind_rotate.blind_rotate(keys.plan, p, keys.bsk_limbs, ct, test,
-                                    keys.fwd_limbs, keys.fwd_full,
-                                    keys.inv_crt_limbs, keys.inv_crt_full,
+    acc = blind_rotate.blind_rotate(keys.rplan, p, keys.bsk_limbs, ct, test,
+                                    keys.rfwd_limbs, keys.fwd_full,
+                                    keys.rinv_crt_limbs, keys.inv_crt_full,
                                     keys.rot_table)
     out = lwe.sample_extract0(acc)
     return out.at[..., -1].add(U64(1) << U64(out_scale_log - 1))

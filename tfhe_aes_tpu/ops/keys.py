@@ -4,15 +4,20 @@ The reference converts its bootstrap key to the Fourier domain once
 (fill_with_forward_fourier, many_wopbs.rs:263) and streams keyswitch keys as
 u64; here every key is staged in the layout its consuming kernel wants:
 
-  * BSK   -> per-prime NTT residues, balanced int16  [n, P, R, k+1, N]
-             (R = (k+1)*pbs_level, component-major — matches
-             ops.decompose.glwe_digits_flat);
+  * BSK   -> per-prime NTT residues of the mod-2^q' ROUNDED key (q' =
+             pbs_base_log*pbs_level: the blind rotate runs in a mod-switched
+             domain where the gadget decomposition is exact and the RNS basis
+             shrinks to `rplan` — 4 big primes at PARAM_OPT instead of the
+             mod-2^64 domain's 6; see utils/crt.rotate_primes and
+             ops/blind_rotate.py for the noise accounting).  Serialized as
+             balanced int16 [n, P, R, k+1, N] (R = (k+1)*pbs_level,
+             component-major — matches ops.decompose.glwe_digits_flat);
   * KSK   -> signed 8-bit limbs for the int8 keyswitch matmul
              [big*ks_level, (n+1)*8];
   * PFPKSK-> signed 8-bit limbs for the packing-keyswitch matmul
              [(big+1)*pfks_level, (k+1)_u * (k+1)_j * N * 8].
 
-Total device key material at production parameters ~1.2 GB (SURVEY.md 2b) —
+Total device key material at production parameters ~1 GB (SURVEY.md 2b) —
 replicated per chip; CTR blocks are the sharded axis (SURVEY.md 2c).
 """
 
@@ -33,49 +38,83 @@ from . import modular, ntt
 @dataclasses.dataclass
 class DeviceKeys:
     """Evaluation keys as a JAX pytree: array leaves are traced arguments of
-    jitted kernels (never baked constants), params/plan are static metadata."""
+    jitted kernels (never baked constants), params/plans are static metadata.
+
+    Two NTT plans: `plan` (mod-2^64 torus domain — CBS GGSW staging and
+    vertical packing) and `rplan` (mod-2^q' rotate domain, q' = base^level —
+    the blind-rotate hot loop; fewer, bigger primes).  The *r-prefixed /
+    rotate-only arrays (bsk, fwd_full, inv_crt_full, rot_table, rfwd_limbs,
+    rinv_crt_limbs) belong to rplan."""
     params: ParamSet = dataclasses.field(metadata=dict(static=True))
     plan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
-    bsk_limbs: jax.Array | np.ndarray     # int8  [n, P, R*2(k+1), N] limb rows
+    rplan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
+    bsk_limbs: jax.Array | np.ndarray     # int8  [n, Pr, R*2(k+1), N] limb rows
     ksk_limbs: jax.Array | np.ndarray     # int8  [big*ks_lev, (n+1)*8]
     pfpksk_limbs: jax.Array | np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)^2*N*8]
-    fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]
-    fwd_full: jax.Array | np.ndarray      # int8  [P, N, 2N] digit-NTT mats
-    inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]
-    inv_crt_full: jax.Array | np.ndarray  # int8  [P, 2N, 2N] block INTT mats
-    rot_table: jax.Array | np.ndarray     # int32 [P, 2N, N] twiddle powers
+    fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]   (64-domain)
+    inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]   (64-domain)
+    rfwd_limbs: jax.Array | np.ndarray    # int8  [Pr, 2, 2, N, N]  (rotate)
+    rinv_crt_limbs: jax.Array | np.ndarray# int8  [Pr, 2, 2, N, N]  (rotate)
+    fwd_full: jax.Array | np.ndarray      # int8  [Pr, N, 2N] digit-NTT mats
+    inv_crt_full: jax.Array | np.ndarray  # int8  [Pr, 2N, 2N] block INTT mats
+    rot_table: jax.Array | np.ndarray     # int32 [Pr, 2N, N] twiddle powers
 
 
-def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray) -> np.ndarray:
-    """u64 polys [..., N] -> balanced NTT residues [P, ..., N] (host).
+def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray,
+                              q_bits: int = 64) -> np.ndarray:
+    """mod-2^q_bits polys [..., N] -> balanced NTT residues [P, ..., N] (host).
 
     Uses the native C++ runtime (multithreaded exact NTT) when available;
-    numpy/f64-BLAS fallback otherwise.  Representative convention matches
-    ops.ntt.u64_to_residues (signed limbs, == x mod 2^64).
+    numpy/f64-BLAS fallback otherwise.  The representative is the BALANCED
+    one (x - 2^q if x >= 2^(q-1)); for q < 64 the native mod-2^64 residue
+    path is reused by scaling x by 2^(64-q) and unscaling the residues.
     """
     from .. import runtime
     n = polys_u64.shape[-1]
-    flat = polys_u64.reshape(-1, n)
+    flat = np.ascontiguousarray(polys_u64, dtype=np.uint64).reshape(-1, n)
+    if q_bits < 64:
+        flat = flat << np.uint64(64 - q_bits)
     outs = []
     for p in primes:
         res = runtime.balanced_residues(flat, p)
+        if q_bits < 64:
+            inv2 = pow(pow(2, 64 - q_bits, p), p - 2, p)
+            res = modular.host_balanced(
+                res.astype(np.int64) * inv2, p).astype(np.int32)
         mat, _ = crt.ntt_matrices(p, n)
         outs.append(runtime.ntt_rows_mod(res, mat.astype(np.int32), p)
                     .reshape(polys_u64.shape))
     return np.stack(outs)
 
 
-def pack_bsk(params: ParamSet, plan: ntt.NttPlan,
+def round_to_q(v_u64: np.ndarray, q_bits: int) -> np.ndarray:
+    """round(v / 2^(64-q)) mod 2^q — the mod-switch staging the rotate keys.
+
+    The u64 add wraps exactly when the true rounded value would be 2^q = 0
+    mod 2^q, so the wrap IS the reduction."""
+    if q_bits >= 64:
+        return v_u64
+    h = np.uint64(1) << np.uint64(63 - q_bits)
+    return (v_u64 + h) >> np.uint64(64 - q_bits)
+
+
+def pack_bsk(params: ParamSet, rplan: ntt.NttPlan,
              bsk_u64: np.ndarray) -> np.ndarray:
     """Golden BSK [n, lev, k+1(row u), k+1(col j), N] -> NTT int16 layout.
 
-    [n, P, R, k+1, N] int16 balanced residues — the SERIALIZATION format;
-    bsk_residues_to_device converts to the device operand layout.
+    [n, Pr, R, k+1, N] int16 balanced residues of the mod-2^q' ROUNDED key
+    (q' = rplan.q_bits) — the SERIALIZATION format; bsk_residues_to_device
+    converts to the device operand layout.  Rounding each u64 coefficient to
+    q' bits adds uniform +-2^(63-q') noise per coefficient: at PARAM_OPT
+    (q'=40) the accumulated blind-rotate contribution is sigma ~ 2^39.9 vs
+    the 2^57.6 fresh-output budget — invisible (see ops/blind_rotate.py).
     """
     n_lwe, lev, kp1, _, n = bsk_u64.shape
     # row-major R = u*lev + l
     rows = bsk_u64.transpose(0, 2, 1, 3, 4).reshape(n_lwe, kp1 * lev, kp1, n)
-    res = poly_to_ntt_residues_host(plan.primes, rows)  # [P, n, R, k+1, N]
+    rows = round_to_q(np.ascontiguousarray(rows, np.uint64), rplan.q_bits)
+    res = poly_to_ntt_residues_host(rplan.primes, rows,
+                                    rplan.q_bits)       # [P, n, R, k+1, N]
     out = res.transpose(1, 0, 2, 3, 4).astype(np.int16)
     return np.ascontiguousarray(out)
 
@@ -123,23 +162,42 @@ def pack_pfpksk(params: ParamSet, pfpksk_u64: np.ndarray) -> np.ndarray:
         limbs.reshape(bigp1 * lev, kp1 * kp1 * n * 8))
 
 
+def make_rotate_plan(p: ParamSet) -> ntt.NttPlan:
+    """The blind-rotate NTT plan: mod-2^40 domain, big-prime RNS.
+
+    q' = 40 for every parameter set: when base*level == 40 (PARAM_OPT) the
+    gadget decomposition is exact; smaller decompositions keep a small
+    rounding shift (40 - base*level), and the BSK-rounding error 2^23
+    stays ~17 bits under the production noise budget (pack_bsk).  Shallower
+    q' would let the BSK rounding swamp parameter sets whose CBS scales
+    reach further down (the toy sets' 2^44)."""
+    q = max(40, p.pbs_base_log * p.pbs_level)
+    primes = crt.rotate_primes(q, p.polynomial_size, p.pbs_base_log,
+                               p.glwe_dimension, p.pbs_level)
+    return ntt.make_plan(p.polynomial_size, primes, q_bits=q)
+
+
 def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
                      primes=None) -> DeviceKeys:
     """Generate (numpy golden) + pack all evaluation keys for the device."""
     p = sk.params
     plan = ntt.make_plan(p.polynomial_size, primes or crt.ntt_primes())
+    rplan = make_rotate_plan(p)
     bsk = nb.bsk_gen(sk, rng)
     ksk = nb.ksk_gen(sk, rng)
     pfp = nb.pfpksk_gen(sk, rng)
     return DeviceKeys(
         params=p,
         plan=plan,
-        bsk_limbs=bsk_residues_to_device(pack_bsk(p, plan, bsk)),
+        rplan=rplan,
+        bsk_limbs=bsk_residues_to_device(pack_bsk(p, rplan, bsk)),
         ksk_limbs=pack_ksk(p, ksk),
         pfpksk_limbs=pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,
-        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
-        inv_crt_full=ntt.inv_crt_full_host(plan),
-        rot_table=plan.rot_table,
+        rfwd_limbs=rplan.fwd_limbs,
+        rinv_crt_limbs=rplan.inv_crt_limbs,
+        fwd_full=ntt.fwd_full_host(rplan),
+        inv_crt_full=ntt.inv_crt_full_host(rplan),
+        rot_table=rplan.rot_table,
     )

@@ -64,6 +64,7 @@ class NttPlan:
     """
     n: int
     primes: tuple[int, ...]
+    q_bits: int                  # accumulator modulus 2^q_bits (64 or B^lev)
     fwd_limbs: np.ndarray        # int8 [P, 2, 2, N, N]
     inv_limbs: np.ndarray        # int8 [P, 2, 2, N, N]  (n^-1 folded)
     inv_crt_limbs: np.ndarray    # int8 [P, 2, 2, N, N]  (n^-1 and c_k folded)
@@ -103,15 +104,17 @@ def _host_rot_table(primes, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(n: int, primes: tuple[int, ...] | None = None) -> NttPlan:
+def make_plan(n: int, primes: tuple[int, ...] | None = None,
+              q_bits: int = 64) -> NttPlan:
     primes = primes or crt.ntt_primes()
-    cst = crt.crt_constants(tuple(primes))
+    cst = crt.crt_constants(tuple(primes), q_bits)
     pow2 = np.stack([
         modular.host_balanced([pow(2, 8 * i, p) for i in range(8)], p)
         for p in primes]).astype(np.int32)
     return NttPlan(
         n=n,
         primes=tuple(primes),
+        q_bits=q_bits,
         fwd_limbs=_host_limb_matrices(primes, n, inverse=False, fold_crt=False),
         inv_limbs=_host_limb_matrices(primes, n, inverse=True, fold_crt=False),
         inv_crt_limbs=_host_limb_matrices(primes, n, inverse=True,
@@ -373,7 +376,9 @@ def intt_crt_u64(plan: NttPlan, res: jnp.ndarray,
     n^-1 and the CRT premultiplier c_k folded in, so per prime the output is
     z_k = (x * c_k) mod p_k and
 
-        x mod 2^64 = sum_k z_k * (M/p_k)  -  round(sum_k z_k/p_k) * M.
+        x mod 2^q = sum_k z_k * (M/p_k)  -  round(sum_k z_k/p_k) * M
+    with q = plan.q_bits (64 for the torus domain, base^level for the
+    mod-switched rotate domain — see ops/blind_rotate.py).
     """
     acc = None
     alpha_fx = None
@@ -388,7 +393,10 @@ def intt_crt_u64(plan: NttPlan, res: jnp.ndarray,
         acc = term if acc is None else acc + term
         alpha_fx = afx if alpha_fx is None else alpha_fx + afx
     alpha = (alpha_fx + (1 << (plan.fp_shift - 1))) >> plan.fp_shift
-    return acc - alpha.astype(jnp.uint64) * jnp.uint64(plan.m64)
+    acc = acc - alpha.astype(jnp.uint64) * jnp.uint64(plan.m64)
+    if plan.q_bits < 64:
+        acc = acc & jnp.uint64((1 << plan.q_bits) - 1)
+    return acc
 
 
 def u64_to_residues(plan: NttPlan, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,25 +1,32 @@
 """Fused Pallas CMux step — the blind-rotate hot loop as ONE TPU kernel.
 
 Replaces the XLA op chain (gadget decompose -> forward NTT -> external-
-product MAC -> twiddle rotation -> inverse NTT -> explicit CRT -> u64
+product MAC -> twiddle rotation -> inverse NTT -> explicit CRT ->
 accumulate) whose HBM-materialized intermediates (layout copies, Barrett
-passes, emulated-u64 chains) dominated wall time: profiled on a v5e, the
-per-op XLA pipeline spent ~70% of device time on copies and element-wise
+passes, emulated-wide-int chains) dominated wall time: profiled on a v5e,
+the per-op XLA pipeline spent ~70% of device time on copies and element-wise
 fusions between dots.  Here everything between the accumulator load and
 store lives in VMEM/registers.
+
+The accumulator lives mod q' = 2^(pbs_base_log*pbs_level) — 2^40 at
+PARAM_OPT — NOT mod 2^64: the gadget decomposition reads exactly the top
+base*level bits, so the mod-switched loop is lossless for it, the
+decomposition becomes EXACT (no per-step rounding), and the CRT range
+shrinks enough for 4 big primes instead of 6 (the noise accounting for the
+q' switch is in ops/blind_rotate.py item 3).
 
 Per grid cell (batch_tile, prime) — primes innermost so per-tile state
 (gadget digits, CRT accumulators) persists in scratch across the prime loop:
 
-    k == 0:  decompose the u64 accumulator tile (kept as two u32 planes —
+    k == 0:  decompose the mod-q' accumulator tile (kept as two u32 planes —
              Mosaic has no 64-bit ints) into balanced int8 gadget digits
     all k:   digits @ fwd_full[k]   (MXU int8 dot, both residue limbs)
              -> Barrett -> int8 limb pair
              MAC against the step's BSK row block (VPU, r-unrolled)
              twiddle (psi^(a(2j+1)) - 1) multiply      [rotation, SURVEY 3.2]
              limb split -> @ inv_crt_full[k] (MXU) -> Barrett -> canonical
-             CRT accumulate: u64 += y * (M/p_k mod 2^64) via 8-bit limb
-             products and explicit u32 carry chains
+             CRT accumulate: acc += y * (M/p_k mod 2^q') via 8-bit limb
+             products and explicit u32 carry chains (ceil(q'/8) limbs)
     k == P-1: alpha = round(sum y_k/p_k) correction, acc += delta, store.
 
 Reference counterpart: the fft64 bootstrap loop inside tfhe-rs
@@ -56,9 +63,16 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     blog = params.pbs_base_log
     r_rows = kp1 * lev
     pcount = plan.n_primes
-    shift = 64 - blog * lev
-    assert blog <= 8 and blog * lev <= 40, (
-        "kernel supports base_log <= 8, <= 40 digit bits")
+    q = plan.q_bits
+    nbytes = (q + 7) // 8
+    shift = q - blog * lev
+    assert 32 < q <= 40 and 0 <= shift < 32, (
+        "kernel runs the mod-2^40 rotate domain (ops/keys.make_rotate_plan)")
+    assert blog <= 8
+    # With shift > 0 the rounded hi plane carries CRT junk above bit
+    # (8 - shift); it is only safe when no digit read straddles into it.
+    assert shift == 0 or blog * lev <= 32, (
+        "straddling digit reads with a rounding shift would see CRT junk")
     half_b = 1 << (blog - 1)
 
     def kernel(consts_ref, m64b_ref, invp_ref,
@@ -89,17 +103,18 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
             return jnp.where(r < -half, r + p, r)
 
         # -- k == 0: decompose the accumulator tile into gadget digits ------
+        # shift == 0 (blog*lev == q, PARAM_OPT): every accumulator bit
+        # participates — EXACT, no rounding.  shift > 0 (shallower gadget,
+        # e.g. the toy sets' 32 digit bits): round off the low `shift` bits
+        # first, as in the classic decomposition.
         @pl.when(k == 0)
         def _decompose():
             for u in range(kp1):
-                hi = acc_hi_ref[u].astype(U32)               # [TB, N]
-                lo = acc_lo_ref[u].astype(U32)
-                lo1 = lo + _u32c(1 << (shift - 1))
-                hi1 = hi + jnp.where(lo1 < lo, _u32c(1), _u32c(0))
-                if shift == 32:
-                    vlo = hi1
-                    vhi = jnp.zeros_like(hi1)
-                else:
+                vhi = acc_hi_ref[u].astype(U32)              # bits 32..q
+                vlo = acc_lo_ref[u].astype(U32)              # bits 0..31
+                if shift > 0:
+                    lo1 = vlo + _u32c(1 << (shift - 1))
+                    hi1 = vhi + jnp.where(lo1 < vlo, _u32c(1), _u32c(0))
                     vlo = (hi1 << _u32c(32 - shift)) | (lo1 >> _u32c(shift))
                     vhi = hi1 >> _u32c(shift)
                 carry = jnp.zeros_like(vlo)
@@ -134,9 +149,10 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                 lev, tb, n)
 
         # -- MAC: s += dhat * g_limb, contraction over the R rows -----------
-        # dhat is full balanced 15-bit, the key side pre-split into 8-bit
-        # limbs: |dhat*g_lo| <= 2^22.5, 25-term sums < 2^27.1 — int32-safe
-        # with a single multiply per (row, limb).
+        # dhat is full balanced <=p/2 < 2^15 (big rotate primes, crt.
+        # rotate_primes), the key side pre-split into 8-bit limbs:
+        # |dhat*g_lo| <= 2^22, 25-term sums < 2^26.7 — int32-safe with a
+        # single multiply per (row, limb).
         s_lo[...] = jnp.zeros_like(s_lo)
         s_hi[...] = jnp.zeros_like(s_hi)
 
@@ -153,16 +169,19 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                 s_hi[j] += dr * ghi
 
         # -- recombine limb products, twiddle-rotate, split for the INTT ----
-        # Clamp analysis (p < 46341 = 2^15.5):
-        #   s_hi unclamped barrett: |.| <= 1.5p -> *256 <= 2^25.1, safe add;
-        #   prod unclamped: |prod| <= 1.5p; |tw-1| <= p/2 + 1 ->
-        #   |(tw-1)*prod| <= 1.5p*(p/2+1) < 1.61e9 < 2^31 - 1: no overflow.
+        # Clamp analysis (p < 2^16, rotate primes <= 64513):
+        #   s_hi unclamped barrett: |.| <= 1.5p < 2^16.6 -> *256 <= 2^24.6,
+        #   safe add with s_lo < 2^26.7;
+        #   prod IS clamped (|prod| <= p/2): |tw-1| <= p/2 + 1 ->
+        #   |(tw-1)*prod| <= (p/2+1)*p/2 < 2^30 < 2^31 - 1: no overflow.
+        #   (unclamped prod would give 1.5p*(p/2+1) ~ 2^31.6 — the ONE clamp
+        #   the bigger 4-prime basis costs vs the old 6x 2^15.5 primes.)
         #   delta IS clamped: the int8 limb split needs |delta| <= p/2.
         tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
         for j in range(kp1):
             r_hi = barrett(barrett(s_hi[j], clamp=False) * jnp.int32(256),
                            clamp=False)
-            prod = barrett(s_lo[j] + r_hi, clamp=False)      # [TB, N]
+            prod = barrett(s_lo[j] + r_hi)                   # [TB, N] clamped
             delta = barrett(tw1 * prod)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
             l8 = delta - (h8 << jnp.int32(8))
@@ -170,12 +189,16 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
             x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
 
         # -- inverse NTT + explicit CRT accumulation ------------------------
-        # Unclamped barretts: |r_hi| <= 1.5p -> <<8 <= 2^25.1 (+ zz_lo 2^24
-        # stays int32-safe); |z| <= 1.5p, so the sign fix gives
-        # y in [0, 1.5p) < 2^16.2 — the CRT limb products (y * 8-bit) stay
-        # < 2^24.2 and the fp24 alpha product < 2^26, both in budget, and
-        # the explicit-CRT identity is invariant under y -> y + p (the
-        # alpha sum shifts by exactly 1).
+        # Unclamped barretts: |r_hi| <= 1.5p < 2^16.6 -> <<8 <= 2^24.6
+        # (+ zz_lo 2^24 stays int32-safe); |z| <= 1.5p, so the sign fix
+        # gives y in [0, 1.5p) < 2^16.6 — the CRT limb products (y * 8-bit)
+        # stay < 2^24.6 and the fp24 alpha product < 2^25 (4-term sum
+        # < 2^27), both in budget, and the explicit-CRT identity is
+        # invariant under y -> y + p (the alpha sum shifts by exactly 1).
+        # Alpha-rounding robustness: per-term fixed-point error <= y/2^24
+        # < 2^-7.4, 4 terms < 2^-5.4; |true x|/M <= 2^60.64/2^63.57 = 0.13
+        # (crt.rotate_primes margin) -> total distance from the round
+        # boundary > 0.31.
         zz = jax.lax.dot_general(
             x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=I32)                      # [J*TB, 2N]
@@ -187,8 +210,8 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         yu = y.astype(U32)
         a_lo = acc64_lo[...]
         a_hi = acc64_hi[...]
-        for i in range(8):
-            pp = yu * consts_ref[k, 2 + i].astype(U32)       # < 2^24
+        for i in range(nbytes):
+            pp = yu * consts_ref[k, 2 + i].astype(U32)       # < 2^24.6
             if i < 4:
                 lopart = pp << _u32c(8 * i)
                 hipart = pp >> _u32c(32 - 8 * i) if i > 0 else _u32c(0) * pp
@@ -201,14 +224,16 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         acc64_lo[...] = a_lo
         acc64_hi[...] = a_hi
 
-        # -- k == P-1: alpha rounding, delta = acc64 - alpha*M64, store -----
+        # -- k == P-1: alpha rounding, delta = acc - alpha*M mod 2^q, store -
+        # Junk above bit q-32 of the hi plane is harmless: the decompose
+        # digit reads mask it and the wrapper masks the final reconstruction.
         @pl.when(k == pcount - 1)
         def _finalize():
             al = (alpha[...] + jnp.int32(1 << 23)) >> jnp.int32(24)
             alu = al.astype(U32)
             s_lo = jnp.zeros_like(alu)
             s_hi = jnp.zeros_like(alu)
-            for i in range(8):
+            for i in range(nbytes):
                 pp = alu * m64b_ref[0, i].astype(U32)
                 if i < 4:
                     lopart = pp << _u32c(8 * i)
@@ -273,6 +298,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
     lev = params.pbs_level
     r_rows = kp1 * lev
     pcount = plan.n_primes
+    nbytes = (plan.q_bits + 7) // 8
     n_tiles = n_batch // tb
     kern = _kernel(params, plan, tb)
 
@@ -288,10 +314,10 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         num_scalar_prefetch=0,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pcount, 10), lambda t, k: _i(0, 0),
+            pl.BlockSpec((pcount, 2 + nbytes), lambda t, k: _i(0, 0),
                          memory_space=pltpu.SMEM),            # consts
-            pl.BlockSpec((1, 8), lambda t, k: _i(0, 0),
-                         memory_space=pltpu.SMEM),            # m64 bytes
+            pl.BlockSpec((1, nbytes), lambda t, k: _i(0, 0),
+                         memory_space=pltpu.SMEM),            # M mod 2^q bytes
             pl.BlockSpec((pcount, 1), lambda t, k: _i(0, 0),
                          memory_space=pltpu.SMEM),            # 1/p f32
             acc_spec,                                         # acc hi
@@ -318,15 +344,15 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         ],
     )
 
-    consts = np.zeros((pcount, 10), np.int32)
+    consts = np.zeros((pcount, 2 + nbytes), np.int32)
     for k in range(pcount):
         consts[k, 0] = plan.p_i32[k]
         consts[k, 1] = (1 << 24) // int(plan.p_i32[k])        # fp24
-        mk = int(plan.mk64[k])
-        for i in range(8):
+        mk = int(plan.mk64[k])                                # M/p_k mod 2^q
+        for i in range(nbytes):
             consts[k, 2 + i] = (mk >> (8 * i)) & 0xFF
-    m64b = np.array([[(int(plan.m64) >> (8 * i)) & 0xFF for i in range(8)]],
-                    np.int32)
+    m64b = np.array([[(int(plan.m64) >> (8 * i)) & 0xFF
+                      for i in range(nbytes)]], np.int32)
     invp = (1.0 / np.asarray(plan.p_i32, np.float64)).astype(
         np.float32).reshape(-1, 1)
 
@@ -351,7 +377,8 @@ def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
     """Drop-in replacement for ops.blind_rotate.blind_rotate (same result).
 
     lwe_u64 [B, n+1]; test_glwe_u64 [k+1, N] or [B, k+1, N]; bsk_limbs
-    [n_lwe, P, R*2J, N] int8.  Returns [B, k+1, N] u64.
+    [n_lwe, Pr, R*2J, N] int8 (mod-q' rotate domain, plan.q_bits).
+    Returns [B, k+1, N] u64.
     """
     from . import lwe  # local import to avoid cycle
 
@@ -359,12 +386,16 @@ def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
     two_n = 2 * n_poly
     n_batch = lwe_u64.shape[0]
     kp1 = params.glwe_dimension + 1
+    q = plan.q_bits
     tilde = lwe.modswitch(lwe_u64, two_n)
     b_t = tilde[:, -1]
     if test_glwe_u64.ndim == 2:
         test_glwe_u64 = jnp.broadcast_to(
             test_glwe_u64[None], (n_batch,) + test_glwe_u64.shape)
     acc0 = lwe.neg_rotate(test_glwe_u64, ((two_n - b_t) % two_n)[:, None])
+    if q < 64:                                       # mod-switch once to q'
+        acc0 = (acc0 + (jnp.uint64(1) << jnp.uint64(63 - q))) \
+            >> jnp.uint64(64 - q)
     acc0 = jnp.transpose(acc0, (1, 0, 2))            # [k+1, B, N]
     acc_hi = (acc0 >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc0.astype(jnp.uint32)
@@ -385,4 +416,6 @@ def blind_rotate_pallas(plan: ntt.NttPlan, params: ParamSet,
                                        (acc_hi, acc_lo))
     acc = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) \
         | acc_lo.astype(jnp.uint64)
+    if q < 64:   # mask CRT carry junk above bit q, scale back to 2^64
+        acc = (acc & jnp.uint64((1 << q) - 1)) << jnp.uint64(64 - q)
     return jnp.transpose(acc, (1, 0, 2))             # [B, k+1, N]

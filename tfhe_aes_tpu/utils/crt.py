@@ -67,6 +67,38 @@ def ntt_primes(count: int = 6, bound: int = 46340) -> tuple[int, ...]:
     return tuple(out)
 
 
+def rotate_primes(q_bits: int, poly_n: int, base_log: int,
+                  glwe_dim: int, levels: int) -> tuple[int, ...]:
+    """Smallest big-prime RNS basis covering the mod-2^q_bits blind rotate.
+
+    The rotate accumulator lives mod q' = 2^(base_log*levels) (the gadget
+    decomposition is then EXACT), so the CRT only has to cover the true
+    integer convolution of balanced digits (|d| <= 2^(base_log-1)) with
+    balanced mod-q' BSK representatives (|b| <= 2^(q-1)), times 2 for the
+    (X^a - 1) twiddle:  need  M/2 > 2 * R*N * 2^(blog-1) * 2^(q-1).
+
+    Primes come from a LARGER window than ntt_primes' (bound 65023): with the
+    twiddle product clamped to |prod| <= p/2 in the kernel, every int32 bound
+    holds for p < 2^16 (see ops/pallas_blind_rotate.py bound comments), and
+    fewer, bigger primes mean proportionally fewer MXU dots / Barrett chains /
+    BSK bytes.  At PARAM_OPT this is 4 primes (vs 6 for the mod-2^64 domain):
+    log2 M = 63.57 vs the required 61.64.
+    """
+    r_rows = (glwe_dim + 1) * levels
+    import math
+    need = 2.0 + math.log2(r_rows * poly_n) + (base_log - 1) + (q_bits - 1)
+    out: list[int] = []
+    total = 0.0
+    p = (65023 // MAX_TWO_N) * MAX_TWO_N + 1
+    while total <= need and p > MAX_TWO_N:
+        if _is_prime(p):
+            out.append(p)
+            total += math.log2(p)
+        p -= MAX_TWO_N
+    assert total > need, "not enough rotate primes under bound"
+    return tuple(out)
+
+
 def _primitive_root(p: int) -> int:
     # factor p-1
     n, fac = p - 1, []
@@ -149,15 +181,16 @@ def ntt_inv_host(ahat: np.ndarray, p: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def crt_constants(primes: tuple[int, ...]):
-    """Precomputed explicit-CRT constants for reconstruction mod 2^64.
+def crt_constants(primes: tuple[int, ...], q_bits: int = 64):
+    """Precomputed explicit-CRT constants for reconstruction mod 2^q_bits.
 
     Given residues y_k of a signed integer x (|x| < M/2, M = prod p_k):
         z_k   = y_k * c_k mod p_k            (c_k = (M/p_k)^-1 mod p_k)
         alpha = round(sum_k z_k / p_k)
         x     = sum_k z_k * (M/p_k)  -  alpha * M          (exact integer)
-        x mod 2^64 = sum_k z_k * Mk64_k - alpha * M64      (mod 2^64)
-    Returns dict with c_k, Mk mod 2^64, M mod 2^64, and fixed-point 1/p_k.
+        x mod 2^q = sum_k z_k * Mk64_k - alpha * M64       (mod 2^q)
+    Returns dict with c_k, Mk mod 2^q, M mod 2^q, and fixed-point 1/p_k.
+    (Field names keep the historical "64" suffix; they are mod 2^q_bits.)
     """
     M = 1
     for p in primes:
@@ -167,7 +200,7 @@ def crt_constants(primes: tuple[int, ...]):
     for p in primes:
         Mk = M // p
         c.append(pow(Mk % p, p - 2, p))
-        mk64.append(Mk % (1 << 64))
+        mk64.append(Mk % (1 << q_bits))
     # fixed point floor(2^40 / p): z_k < 2^16 so z_k * fp < 2^56 fits u64/i64;
     # total alpha error < count * 2^-40 * 2^16 << 1/2.
     fp_shift = 40
@@ -175,18 +208,19 @@ def crt_constants(primes: tuple[int, ...]):
     return {
         "primes": primes,
         "M": M,
+        "q_bits": q_bits,
         "c": np.array(c, dtype=np.int64),
         "mk64": np.array(mk64, dtype=np.uint64),
-        "m64": np.uint64(M % (1 << 64)),
+        "m64": np.uint64(M % (1 << q_bits)),
         "fp": np.array(fp, dtype=np.int64),
         "fp_shift": fp_shift,
     }
 
 
-def crt_reconstruct_u64_host(residues: np.ndarray,
-                             primes: tuple[int, ...]) -> np.ndarray:
-    """Reconstruct x mod 2^64 from residues[..., k] (int64, in [0, p_k))."""
-    cst = crt_constants(primes)
+def crt_reconstruct_u64_host(residues: np.ndarray, primes: tuple[int, ...],
+                             q_bits: int = 64) -> np.ndarray:
+    """Reconstruct x mod 2^q_bits from residues[..., k] (int64, in [0, p_k))."""
+    cst = crt_constants(primes, q_bits)
     zs = []
     for k, p in enumerate(primes):
         zs.append((residues[..., k].astype(np.int64) * int(cst["c"][k])) % p)
@@ -198,4 +232,6 @@ def crt_reconstruct_u64_host(residues: np.ndarray,
         alpha_fx = alpha_fx + z[..., k] * int(cst["fp"][k])
     alpha = (alpha_fx + (1 << (cst["fp_shift"] - 1))) >> cst["fp_shift"]
     acc = acc - alpha.astype(np.uint64) * cst["m64"]
+    if q_bits < 64:
+        acc = acc & np.uint64((1 << q_bits) - 1)
     return acc

@@ -28,6 +28,16 @@ def default_cache_dir() -> pathlib.Path:
         "TFHE_AES_TPU_CACHE", os.path.expanduser("~/.cache/tfhe_aes_tpu")))
 
 
+# Bump when the packed-key layout changes incompatibly (v3: BSK staged in
+# the mod-2^q' rotate domain over the big-prime basis, ops/keys.pack_bsk).
+KEY_FORMAT = 3
+
+
+def cache_path(params: ParamSet, seed) -> pathlib.Path:
+    """Canonical key-cache location for (params, seed) at KEY_FORMAT."""
+    return default_cache_dir() / f"{params.name}_seed{seed}_v{KEY_FORMAT}.npz"
+
+
 def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys, *,
               interchange: bool = False) -> None:
     """Persist secret + packed evaluation keys.
@@ -48,6 +58,8 @@ def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys, *,
         path,
         params_name=np.array(sk.params.name),
         primes=np.array(dkeys.plan.primes, dtype=np.int64),
+        rprimes=np.array(dkeys.rplan.primes, dtype=np.int64),
+        q_bits=np.array(dkeys.rplan.q_bits, dtype=np.int64),
         lwe_key=sk.lwe_key,
         glwe_key=sk.glwe_key,
         ksk_limbs=np.asarray(dkeys.ksk_limbs),
@@ -68,25 +80,33 @@ def _bsk_limbs_to_residues(dkeys: DeviceKeys) -> np.ndarray:
 
 def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
     z = np.load(path, mmap_mode="r")
+    if "rprimes" not in z.files:
+        raise ValueError(
+            f"stale key cache {path} (pre-rotate-domain format); regenerate")
     params = _PARAM_SETS[str(z["params_name"])]
     sk = SecretKeys(params, np.asarray(z["lwe_key"]),
                     np.asarray(z["glwe_key"]))
     plan = ntt.make_plan(params.polynomial_size,
                          tuple(int(p) for p in z["primes"]))
-    if "bsk_limbs" in z.files:                # v2: device layout, zero math
+    rplan = ntt.make_plan(params.polynomial_size,
+                          tuple(int(p) for p in z["rprimes"]),
+                          q_bits=int(z["q_bits"]))
+    if "bsk_limbs" in z.files:                # device layout, zero math
         bsk_limbs = z["bsk_limbs"]            # one zip read (~3 s / 514 MB)
-    else:                                     # v1 interchange: int16 residues
+    else:                                     # interchange: int16 residues
         from ..ops.keys import bsk_residues_to_device
         bsk_limbs = bsk_residues_to_device(np.asarray(z["bsk_ntt"]))
     dkeys = DeviceKeys(
-        params=params, plan=plan,
+        params=params, plan=plan, rplan=rplan,
         bsk_limbs=bsk_limbs,
         ksk_limbs=np.asarray(z["ksk_limbs"]),
         pfpksk_limbs=np.asarray(z["pfpksk_limbs"]),
         fwd_limbs=plan.fwd_limbs,
-        fwd_full=ntt.fwd_full_host(plan),
         inv_crt_limbs=plan.inv_crt_limbs,
-        inv_crt_full=ntt.inv_crt_full_host(plan),
-        rot_table=plan.rot_table,
+        rfwd_limbs=rplan.fwd_limbs,
+        rinv_crt_limbs=rplan.inv_crt_limbs,
+        fwd_full=ntt.fwd_full_host(rplan),
+        inv_crt_full=ntt.inv_crt_full_host(rplan),
+        rot_table=rplan.rot_table,
     )
     return sk, dkeys
