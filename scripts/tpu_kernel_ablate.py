@@ -26,7 +26,7 @@ def time_rotate(dkeys, params, small, test, label):
     from tfhe_aes_tpu.utils import profiling
     pbr._build_call.cache_clear()
     fn = jax.jit(lambda k, s, t: pbr.blind_rotate_pallas(
-        k.plan, params, k.bsk_limbs, s, t, k.fwd_full, k.inv_crt_full,
+        k.rplan, params, k.bsk_limbs, s, t, k.fwd_full, k.inv_crt_full,
         k.rot_table))
     profiling.device_fence(fn(dkeys, small, test))  # compile+warm
     t0 = time.time()
@@ -56,7 +56,9 @@ def make_ablated_kernel(ablate: set):
         blog = params.pbs_base_log
         r_rows = kp1 * lev
         pcount = plan.n_primes
-        shift = 64 - blog * lev
+        q = plan.q_bits
+        nbytes = (q + 7) // 8
+        shift = q - blog * lev
         half_b = 1 << (blog - 1)
 
         def kernel(consts_ref, m64b_ref, invp_ref,
@@ -66,7 +68,7 @@ def make_ablated_kernel(ablate: set):
                    acc64_lo, alpha):
             k = pl.program_id(1)
             p = consts_ref[k, 0]
-            fp24 = consts_ref[k, 2]
+            fp24 = consts_ref[k, 1]
             inv_p = invp_ref[k, 0]
 
             def barrett(t):
@@ -80,14 +82,12 @@ def make_ablated_kernel(ablate: set):
             def _decompose():
                 if "decompose" not in ablate:
                     for u in range(kp1):
-                        hi = acc_hi_ref[u].astype(U32)
-                        lo = acc_lo_ref[u].astype(U32)
-                        lo1 = lo + _u32c(1 << (shift - 1))
-                        hi1 = hi + jnp.where(lo1 < lo, _u32c(1), _u32c(0))
-                        if shift == 32:
-                            vlo = hi1
-                            vhi = jnp.zeros_like(hi1)
-                        else:
+                        vhi = acc_hi_ref[u].astype(U32)
+                        vlo = acc_lo_ref[u].astype(U32)
+                        if shift > 0:
+                            lo1 = vlo + _u32c(1 << (shift - 1))
+                            hi1 = vhi + jnp.where(lo1 < vlo, _u32c(1),
+                                                  _u32c(0))
                             vlo = ((hi1 << _u32c(32 - shift))
                                    | (lo1 >> _u32c(shift)))
                             vhi = hi1 >> _u32c(shift)
@@ -163,8 +163,8 @@ def make_ablated_kernel(ablate: set):
                 yu = y.astype(U32)
                 a_lo = acc64_lo[...]
                 a_hi = acc64_hi[...]
-                for i in range(8):
-                    pp = yu * consts_ref[k, 3 + i].astype(U32)
+                for i in range(nbytes):
+                    pp = yu * consts_ref[k, 2 + i].astype(U32)
                     if i < 4:
                         lopart = pp << _u32c(8 * i)
                         hipart = (pp >> _u32c(32 - 8 * i)) if i > 0 \
@@ -184,7 +184,7 @@ def make_ablated_kernel(ablate: set):
                 alu = al.astype(U32)
                 s_lo2 = jnp.zeros_like(alu)
                 s_hi2 = jnp.zeros_like(alu)
-                for i in range(8):
+                for i in range(nbytes):
                     pp = alu * m64b_ref[0, i].astype(U32)
                     if i < 4:
                         lopart = pp << _u32c(8 * i)

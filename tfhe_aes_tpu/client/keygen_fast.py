@@ -120,11 +120,14 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
     pfp = pfpksk_gen_fast(sk, rng, plan)
 
     # BSK NTT staging on device, preserving pack_bsk's layout and values:
+    # cancel mask rounding errors into the bodies (host, exact f64 convs),
     # round to the rotate domain's q' bits, take balanced residues of the
     # scaled-back value, unscale by (2^(64-q'))^-1 mod p (== host
     # poly_to_ntt_residues_host's shift trick), forward NTT.
     n_lwe, lev, kp1, _, n = bsk.shape
-    rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, n)
+    rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, kp1, n)
+    rows = keys_mod.cancel_mask_rounding(rows, sk.glwe_key, rplan.q_bits)
+    rows = rows.reshape(-1, n)
     rfwd = jnp.asarray(rplan.fwd_limbs)
     q = rplan.q_bits
     from ..ops import modular

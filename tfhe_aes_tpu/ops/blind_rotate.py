@@ -31,27 +31,29 @@ verified bit-exact against the plaintext oracle):
    multi-chip meshes) an equivalent XLA op pipeline runs the same math on
    the same key layout.
 
-3. The accumulator lives mod q' = 2^40 (ops/keys.make_rotate_plan), not
+3. The accumulator lives mod q' = 2^48 (ops/keys.make_rotate_plan), not
    mod 2^64.  The gadget decomposition reads only the top base*level <= 40
-   bits of the accumulator, so a mod-q' accumulator loses nothing the
-   decomposition would ever see (at PARAM_OPT base*level == 40: the
-   decomposition becomes EXACT) — and the exact-CRT range shrinks from
-   2^84.6 to 2^60.6, which 4 big primes cover instead of 6
-   (utils/crt.rotate_primes): one third less MXU/VPU/HBM work per step.
-   Noise accounting for the three mod-switch artifacts (all in 2^64 scale,
-   vs the 2^57.6 fresh-output sigma budget — see NOISE_REPORT.md for the
-   measured totals):
+   bits of the accumulator, so the mod-q' loop is lossless for it — and
+   the exact-CRT range shrinks from 2^84.6 to 2^68.6, which 5 big primes
+   cover instead of 6 (utils/crt.rotate_primes): 1/6 less MXU work and
+   ~35% less VPU chain work per step (the CRT byte chains go 8x6 -> 6x5).
+   Noise accounting for the mod-switch artifacts (2^64 scale, against the
+   GGSW-consumption budget sigma <= ~2^39.5 — vertical packing amplifies
+   GGSW noise by cbs-digit x sqrt(8N/3) ~ 2^19 before the 2^62 decrypt
+   threshold; measured totals in NOISE_REPORT.md):
      a. the input accumulator is rounded once to q' bits: uniform error
-        <= 2^(63-q') = 2^23 (one-time, same size as ONE step's gadget
-        rounding in the old mod-2^64 loop, which rounded EVERY step);
-     b. the BSK is rounded once to q' bits at staging: per-coefficient
-        uniform +-2^23; accumulated over 669 CMux convolutions this is
-        sigma ~ 2^39.9 (ops/keys.pack_bsk) — 2^-17.7 of budget;
-     c. the output is scaled back by 2^(64-q'), which quantizes output
-        noise to multiples of 2^24 — bounded by a, above.
-   In exchange the per-step decomposition is EXACT (the old per-step
-   2^23-uniform rounding term vanishes), so total measured noise is
-   slightly LOWER than the mod-2^64 formulation's (NOISE_REPORT.md).
+        <= 2^(63-q') = 2^15 (vs the 2^23 PER-STEP gadget rounding that is
+        still there at shift 48-40=8 — unchanged from the classic design);
+     b. the BSK is rounded once to q' bits at staging, with each row's
+        mask rounding errors cancelled into its body (keys.
+        cancel_mask_rounding — without that the errors ride the phase
+        multiplied by ||S|| ~ 2^5 and measured sigma ~ 2^45 at q'=40,
+        which BROKE WoPBS; the q'=40 / 4-prime design is unreachable for
+        this reason).  Residual body-only rounding accumulates
+        sigma ~ 2^32.4 over 669 steps — at the decomposition-rounding
+        floor, 7 bits inside the GGSW budget;
+     c. the output is scaled back by 2^(64-q'), quantizing output noise
+        to multiples of 2^16 — bounded by a.
 """
 
 from __future__ import annotations

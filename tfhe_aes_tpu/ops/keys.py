@@ -98,21 +98,53 @@ def round_to_q(v_u64: np.ndarray, q_bits: int) -> np.ndarray:
     return (v_u64 + h) >> np.uint64(64 - q_bits)
 
 
-def pack_bsk(params: ParamSet, rplan: ntt.NttPlan,
-             bsk_u64: np.ndarray) -> np.ndarray:
+def cancel_mask_rounding(rows_u64: np.ndarray, glwe_key: np.ndarray,
+                         q_bits: int) -> np.ndarray:
+    """Fold each GLWE row's mask rounding errors into its body (exact).
+
+    rows [..., k+1, N] u64; per row set  b += sum_u e_u (*) S_u  (mod 2^64)
+    with e_u = round_to_q(a_u)*2^(64-q) - a_u in +-2^(63-q).  The staged
+    row's phase then carries ONLY the body's own +-2^(63-q) rounding:
+    without this, the mask errors enter the phase multiplied by the secret
+    polynomials S_u (||S||^2 ~ kN/2 = 2^10 at PARAM_OPT — measured to blow
+    the GGSW budget at q'=40, see make_rotate_plan).  The convolutions are
+    exact: |e| <= 2^(63-q) <= 2^23, S binary, 512-term sums < 2^33 in f64.
+    """
+    if q_bits >= 64:
+        return rows_u64
+    from ..backend import numpy_backend as nb
+    rows = np.ascontiguousarray(rows_u64, np.uint64).copy()
+    k = glwe_key.shape[0]
+    s = np.uint64(64 - q_bits)
+    lead = rows.shape[:-2]
+    adj = np.zeros(lead + rows.shape[-1:], np.float64)
+    for u in range(k):
+        a = rows[..., u, :]
+        e = ((round_to_q(a, q_bits) << s) - a).astype(np.int64)
+        mat = nb._negacyclic_matrix(glwe_key[u])        # {-1,0,1} f64
+        adj += e.astype(np.float64) @ mat
+    rows[..., k, :] += adj.astype(np.int64).astype(np.uint64)
+    return rows
+
+
+def pack_bsk(params: ParamSet, rplan: ntt.NttPlan, bsk_u64: np.ndarray,
+             glwe_key: np.ndarray | None = None) -> np.ndarray:
     """Golden BSK [n, lev, k+1(row u), k+1(col j), N] -> NTT int16 layout.
 
     [n, Pr, R, k+1, N] int16 balanced residues of the mod-2^q' ROUNDED key
     (q' = rplan.q_bits) — the SERIALIZATION format; bsk_residues_to_device
-    converts to the device operand layout.  Rounding each u64 coefficient to
-    q' bits adds uniform +-2^(63-q') noise per coefficient: at PARAM_OPT
-    (q'=40) the accumulated blind-rotate contribution is sigma ~ 2^39.9 vs
-    the 2^57.6 fresh-output budget — invisible (see ops/blind_rotate.py).
+    converts to the device operand layout.  With glwe_key given, each row's
+    mask rounding errors are cancelled into its body first
+    (cancel_mask_rounding), leaving sigma_round ~ 2^32 at PARAM_OPT — at
+    the classic decomposition-rounding floor (NOISE_REPORT.md).
     """
     n_lwe, lev, kp1, _, n = bsk_u64.shape
     # row-major R = u*lev + l
     rows = bsk_u64.transpose(0, 2, 1, 3, 4).reshape(n_lwe, kp1 * lev, kp1, n)
-    rows = round_to_q(np.ascontiguousarray(rows, np.uint64), rplan.q_bits)
+    rows = np.ascontiguousarray(rows, np.uint64)
+    if glwe_key is not None:
+        rows = cancel_mask_rounding(rows, glwe_key, rplan.q_bits)
+    rows = round_to_q(rows, rplan.q_bits)
     res = poly_to_ntt_residues_host(rplan.primes, rows,
                                     rplan.q_bits)       # [P, n, R, k+1, N]
     out = res.transpose(1, 0, 2, 3, 4).astype(np.int16)
@@ -163,15 +195,22 @@ def pack_pfpksk(params: ParamSet, pfpksk_u64: np.ndarray) -> np.ndarray:
 
 
 def make_rotate_plan(p: ParamSet) -> ntt.NttPlan:
-    """The blind-rotate NTT plan: mod-2^40 domain, big-prime RNS.
+    """The blind-rotate NTT plan: mod-2^48 domain, big-prime RNS (5 primes
+    at PARAM_OPT vs the mod-2^64 domain's 6).
 
-    q' = 40 for every parameter set: when base*level == 40 (PARAM_OPT) the
-    gadget decomposition is exact; smaller decompositions keep a small
-    rounding shift (40 - base*level), and the BSK-rounding error 2^23
-    stays ~17 bits under the production noise budget (pack_bsk).  Shallower
-    q' would let the BSK rounding swamp parameter sets whose CBS scales
-    reach further down (the toy sets' 2^44)."""
-    q = max(40, p.pbs_base_log * p.pbs_level)
+    Why 48: the gadget decomposition reads the top base*level <= 40 bits,
+    so any q' >= 40 is lossless for it, and SMALLER q' means fewer CRT
+    primes — but the BSK must be rounded to q' bits at staging, and its
+    rounding noise is consumed by circuit bootstrapping whose GGSW outputs
+    vertical packing amplifies by ~2^19 (cbs_base 2^15 digits x sqrt(8N/3)).
+    The budget there is sigma_ggsw <= 2^39.5; measurement at q'=40 gave
+    sigma ~ 2^45 (mask-rounding errors amplified by ||S||) — broken — while
+    q'=48 with mask-error cancellation (pack_bsk folds each row's mask
+    rounding errors into its body, cancelling them in the phase exactly)
+    measures at the classic decomposition-rounding floor.  q' in (41, 47]
+    buys nothing: the CRT range 2*R*N*2^(blog-1)*2^(q-1) needs the 5th
+    prime from q'=42 up, and 4 primes cap at q'=40 whose noise fails."""
+    q = max(48, p.pbs_base_log * p.pbs_level)
     primes = crt.rotate_primes(q, p.polynomial_size, p.pbs_base_log,
                                p.glwe_dimension, p.pbs_level)
     return ntt.make_plan(p.polynomial_size, primes, q_bits=q)
@@ -190,7 +229,8 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         params=p,
         plan=plan,
         rplan=rplan,
-        bsk_limbs=bsk_residues_to_device(pack_bsk(p, rplan, bsk)),
+        bsk_limbs=bsk_residues_to_device(
+            pack_bsk(p, rplan, bsk, glwe_key=sk.glwe_key)),
         ksk_limbs=pack_ksk(p, ksk),
         pfpksk_limbs=pack_pfpksk(p, pfp),
         fwd_limbs=plan.fwd_limbs,

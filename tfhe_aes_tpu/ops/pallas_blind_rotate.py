@@ -66,13 +66,12 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     q = plan.q_bits
     nbytes = (q + 7) // 8
     shift = q - blog * lev
-    assert 32 < q <= 40 and 0 <= shift < 32, (
-        "kernel runs the mod-2^40 rotate domain (ops/keys.make_rotate_plan)")
+    assert 32 < q <= 48 and 0 <= shift < 32, (
+        "kernel runs the mod-2^48 rotate domain (ops/keys.make_rotate_plan)")
     assert blog <= 8
-    # With shift > 0 the rounded hi plane carries CRT junk above bit
-    # (8 - shift); it is only safe when no digit read straddles into it.
-    assert shift == 0 or blog * lev <= 32, (
-        "straddling digit reads with a rounding shift would see CRT junk")
+    # Junk safety: the hi accumulator plane carries CRT-carry junk above
+    # bit q-32; after the shift prologue it sits at vhi bit blog*lev - 32,
+    # and digit reads touch only vbar bits < blog*lev — never the junk.
     half_b = 1 << (blog - 1)
 
     def kernel(consts_ref, m64b_ref, invp_ref,

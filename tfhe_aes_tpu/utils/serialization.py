@@ -28,9 +28,10 @@ def default_cache_dir() -> pathlib.Path:
         "TFHE_AES_TPU_CACHE", os.path.expanduser("~/.cache/tfhe_aes_tpu")))
 
 
-# Bump when the packed-key layout changes incompatibly (v3: BSK staged in
-# the mod-2^q' rotate domain over the big-prime basis, ops/keys.pack_bsk).
-KEY_FORMAT = 3
+# Bump when the packed-key layout changes incompatibly (v4: BSK staged in
+# the mod-2^48 rotate domain over the 5-big-prime basis with mask-rounding
+# cancellation, ops/keys.pack_bsk / make_rotate_plan).
+KEY_FORMAT = 4
 
 
 def cache_path(params: ParamSet, seed) -> pathlib.Path:
