@@ -39,6 +39,18 @@ def tiny_params():
 
 def worker(args) -> None:
     import jax
+    # The env var alone is NOT enough: a sitecustomize.py may force the
+    # tunneled-TPU platform back on (same workaround as tests/conftest.py).
+    # Without this, workers silently attach to the ONE real chip and the
+    # "multi-host" measurement measures nothing.
+    jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: --pin-cores runs compile on ONE core, which
+    # is brutal for the CTR program — warm the cache with an unpinned pass
+    # first and the pinned (measured) pass compiles from disk.
+    from tfhe_aes_tpu.utils import serialization
+    jax.config.update("jax_compilation_cache_dir",
+                      str(serialization.default_cache_dir() / "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=args.procs,
                                process_id=args.process_id)
@@ -218,7 +230,7 @@ def main() -> int:
     ap.add_argument("--pin-cores", action="store_true",
                     help="pin each worker to its own CPU core (honest "
                          "single-machine scaling emulation)")
-    ap.add_argument("--timeout", type=int, default=1200)
+    ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--coordinator", default=None)
     args = ap.parse_args()

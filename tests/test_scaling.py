@@ -32,11 +32,16 @@ def test_two_process_scaling_efficiency_floor():
         pytest.skip("needs >= 2 cores to pin one per emulated host")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # launcher sets cpu itself
+    # Blocks must be large enough that per-block compute dominates the
+    # fixed dispatch/collective overhead: at 16 blocks both configurations
+    # saturate at the same ~0.36 s floor and efficiency reads ~0.5
+    # regardless of scaling quality (measured 2026-08; see
+    # MULTIHOST_SCALING.json for the compute-bound artifact).
     out = subprocess.run(
-        [sys.executable, LAUNCHER, "--procs", "2", "--blocks", "16",
+        [sys.executable, LAUNCHER, "--procs", "2", "--blocks", "512",
          "--params", "dryrun", "--scaling", "--pin-cores",
          "--devices-per-proc", "1"],
-        capture_output=True, text=True, timeout=1500, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=2700, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout + out.stderr
     rows = [json.loads(ln) for ln in out.stdout.splitlines()
             if ln.startswith("{")]
