@@ -22,8 +22,10 @@ BASELINE_BLOCKS_PER_MIN = 60.0 / 84.0  # reference: 84 s/block, 1 CPU core
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=16,
-                    help="CTR blocks per timed batch")
+    ap.add_argument("--blocks", type=int, default=32,
+                    help="CTR blocks per timed batch (32 = measured knee: "
+                         "33.2 blocks/min at 16, 40.0 at 32; 64 exceeds "
+                         "the VP working set's HBM headroom)")
     ap.add_argument("--params", choices=["prod", "toy"], default="prod")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-verify", action="store_true")

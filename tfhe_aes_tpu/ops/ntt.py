@@ -261,22 +261,33 @@ def mac_batched(plan: NttPlan, dhat: jnp.ndarray,
     Per-batch GGSW (the vertical-packing case: each byte's selector bit acts
     on its own accumulators, broadcast over the F = LUTs x chunks axis).
     dhat [P, B, F, R, N]; ghat [P, B, R, J, N]; both balanced.
+
+    R = (k+1)*cbs_level and J = k+1 are tiny (5 and 5 at PARAM_OPT), so
+    this is an unrolled elementwise limb MAC with N kept minormost —
+    perfectly (8,128)-tiled.  The earlier dot_general formulation batched
+    over (P,B,N) and let XLA lay the (F, 2J) axes minor: the VP
+    intermediates got (8,128)-padded 8.5x (a 12 GB HLO temp at 32-block
+    CTR batches — the whole-program HBM OOM) without ever being
+    MXU-shaped work in the first place (K=R=5).
+    Limb bounds: |d_limb|, |g_limb| <= 128 -> per-product < 2^14, <= 2*R
+    summed terms < 2^17.6 — far inside _combine_limb_dots' 2^20 budget.
     """
-    dl, dh = modular.to_balanced_limbs2(jnp.moveaxis(dhat, -1, 2))  # [P,B,N,F,R]
-    gl, gh = modular.to_balanced_limbs2(
-        jnp.moveaxis(ghat.astype(I32), -1, 2))                      # [P,B,N,R,J]
-    j = ghat.shape[-2]
-    gcat = jnp.concatenate([gl, gh], axis=-1)                       # [P,B,N,R,2J]
-    dims = (((4,), (3,)), ((0, 1, 2), (0, 1, 2)))
-
-    def dot(a, b):
-        return jax.lax.dot_general(a, b, dims, preferred_element_type=I32)
-
-    s_lo = dot(dl, gcat)                                            # [P,B,N,F,2J]
-    s_hi = dot(dh, gcat)
-    out = _combine_limb_dots(plan, s_lo[..., :j],
-                             s_lo[..., j:] + s_hi[..., :j], s_hi[..., j:])
-    return jnp.moveaxis(out, 2, -1)                                 # [P,B,F,J,N]
+    dl, dh = modular.to_balanced_limbs2(dhat)           # [P,B,F,R,N] int8
+    gl, gh = modular.to_balanced_limbs2(ghat.astype(I32))   # [P,B,R,J,N]
+    r_dim = ghat.shape[-3]
+    s_ll = s_mid = s_hh = None
+    for r in range(r_dim):
+        dlr = dl[..., r, None, :].astype(I32)           # [P,B,F,1,N]
+        dhr = dh[..., r, None, :].astype(I32)
+        glr = gl[..., r, :, :].astype(I32)[..., None, :, :]  # [P,B,1,J,N]
+        ghr = gh[..., r, :, :].astype(I32)[..., None, :, :]
+        ll = dlr * glr
+        mid = dlr * ghr + dhr * glr
+        hh = dhr * ghr
+        s_ll = ll if s_ll is None else s_ll + ll
+        s_mid = mid if s_mid is None else s_mid + mid
+        s_hh = hh if s_hh is None else s_hh + hh
+    return _combine_limb_dots(plan, s_ll, s_mid, s_hh)  # [P,B,F,J,N]
 
 
 def pointwise_mac(plan: NttPlan, dhat: jnp.ndarray,
