@@ -64,7 +64,7 @@ def make_ablated_kernel(ablate: set):
         def kernel(consts_ref, m64b_ref, invp_ref,
                    acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                    out_hi_ref, out_lo_ref,
-                   digits, dhat, s_lo, s_hi, x8, acc64_hi,
+                   digits, s_lo, s_hi, x8, acc64_hi,
                    acc64_lo, alpha):
             k = pl.program_id(1)
             p = consts_ref[k, 0]
@@ -113,23 +113,27 @@ def make_ablated_kernel(ablate: set):
                 acc64_lo[...] = jnp.zeros_like(acc64_lo)
                 alpha[...] = jnp.zeros_like(alpha)
 
-            if "fwd" not in ablate:
-                for u in range(kp1):
+            # Interleaved dot/MAC per u (mirrors the production kernel)
+            s_lo[...] = jnp.zeros_like(s_lo)
+            s_hi[...] = jnp.zeros_like(s_hi)
+            for u in range(kp1):
+                if "fwd" not in ablate:
                     block = digits[u * lev:(u + 1) * lev].reshape(
                         lev * tb, n)
                     out = jax.lax.dot_general(
                         block, wf_ref[0], (((1,), (0,)), ((), ())),
                         preferred_element_type=I32)
                     t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
-                    dhat[u * lev:(u + 1) * lev] = t.astype(
-                        jnp.int16).reshape(lev, tb, n)
-
-            s_lo[...] = jnp.zeros_like(s_lo)
-            s_hi[...] = jnp.zeros_like(s_hi)
-            if "mac" not in ablate:
-                step_r = 8 if "mac8" in ablate else 1
-                for r in range(0, r_rows, step_r):
-                    dr = dhat[r].astype(I32)
+                    dh = t.reshape(lev, tb, n)
+                else:
+                    dh = digits[u * lev:(u + 1) * lev].astype(I32)
+                if "mac" in ablate:
+                    continue
+                for l in range(lev):
+                    r = u * lev + l
+                    if "mac8" in ablate and r % 8:
+                        continue
+                    dr = dh[l]
                     for j in range(kp1):
                         glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
                         ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(
@@ -140,7 +144,7 @@ def make_ablated_kernel(ablate: set):
             if "twiddle" not in ablate:
                 tw = tw_ref[0].astype(I32)
                 for j in range(kp1):
-                    r_hi = barrett(barrett(s_hi[j]) * jnp.int32(256))
+                    r_hi = barrett(s_hi[j]) * jnp.int32(256)
                     prod = barrett(s_lo[j] + r_hi)
                     delta = barrett(tw * prod - prod)
                     h8 = (delta + jnp.int32(128)) >> jnp.int32(8)

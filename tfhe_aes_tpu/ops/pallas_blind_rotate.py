@@ -77,7 +77,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     def kernel(consts_ref, m64b_ref, invp_ref,
                acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                out_hi_ref, out_lo_ref,
-               digits, dhat, s_lo, s_hi, x8, acc64_hi,
+               digits, s_lo, s_hi, x8, acc64_hi,
                acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
@@ -136,22 +136,17 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
             acc64_lo[...] = jnp.zeros_like(acc64_lo)
             alpha[...] = jnp.zeros_like(alpha)
 
-        # -- forward NTT: digits @ fwd_full[k] (both output limbs) ----------
-        # chunk over the R axis to bound the int32 dot output in VMEM.
-        for u in range(kp1):
-            block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
-            out = jax.lax.dot_general(
-                block, wf_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=I32)                  # [lev*TB, 2N]
-            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
-            dhat[u * lev:(u + 1) * lev] = t.astype(jnp.int16).reshape(
-                lev, tb, n)
-
-        # -- MAC: s += dhat * g_limb, contraction over the R rows -----------
-        # dhat is full balanced <=p/2 < 2^15 (big rotate primes, crt.
-        # rotate_primes), the key side pre-split into 8-bit limbs:
-        # |dhat*g_lo| <= 2^22, 25-term sums < 2^26.7 — int32-safe with a
-        # single multiply per (row, limb).
+        # -- forward NTT + MAC, interleaved per GLWE component u ------------
+        # The dot for u+1 has no data dependence on the MAC of u, so
+        # emitting them interleaved lets Mosaic overlap MXU dot time with
+        # the VPU MAC chains (the two biggest stages in the ablation).
+        # Reading the dot result directly also skips the int16 dhat
+        # scratch round-trip the staged formulation paid.
+        #
+        # MAC bounds: dhat is full balanced <=p/2 < 2^15 (big rotate
+        # primes, crt.rotate_primes), the key side pre-split into 8-bit
+        # limbs: |dhat*g_lo| <= 2^22, 25-term sums < 2^26.7 — int32-safe
+        # with a single multiply per (row, limb).
         s_lo[...] = jnp.zeros_like(s_lo)
         s_hi[...] = jnp.zeros_like(s_hi)
 
@@ -159,18 +154,29 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         # 8-aligned sublane offsets, which constant indices satisfy.
         # (Per-j [TB, N] ops: a broadcast [J, TB, N] formulation measured
         # ~1.3x SLOWER on a v5e — Mosaic tiles the smaller shapes better.)
-        for r in range(r_rows):
-            dr = dhat[r].astype(I32)                         # [TB, N]
-            for j in range(kp1):
-                glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
-                ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
-                s_lo[j] += dr * glo
-                s_hi[j] += dr * ghi
+        for u in range(kp1):
+            block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
+            out = jax.lax.dot_general(
+                block, wf_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)                  # [lev*TB, 2N]
+            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
+            dh = t.reshape(lev, tb, n)
+            for l in range(lev):
+                r = u * lev + l
+                dr = dh[l]                                   # [TB, N]
+                for j in range(kp1):
+                    glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
+                    ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
+                    s_lo[j] += dr * glo
+                    s_hi[j] += dr * ghi
 
         # -- recombine limb products, twiddle-rotate, split for the INTT ----
         # Clamp analysis (p < 2^16, rotate primes <= 64513):
         #   s_hi unclamped barrett: |.| <= 1.5p < 2^16.6 -> *256 <= 2^24.6,
-        #   safe add with s_lo < 2^26.7;
+        #   added raw to s_lo < 2^26.7: sum <= 2^27.3 — int32-safe, and the
+        #   f32 quotient stays within +-1 (t rounds to f32 with abs error
+        #   <= 2^27.3 * 2^-24 ~ 10, error on t*inv_p ~ 10/p + 2^-11.7 << 1)
+        #   so ONE barrett recombines both limbs;
         #   prod IS clamped (|prod| <= p/2): |tw-1| <= p/2 + 1 ->
         #   |(tw-1)*prod| <= (p/2+1)*p/2 < 2^30 < 2^31 - 1: no overflow.
         #   (unclamped prod would give 1.5p*(p/2+1) ~ 2^31.6 — the ONE clamp
@@ -178,8 +184,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         #   delta IS clamped: the int8 limb split needs |delta| <= p/2.
         tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
         for j in range(kp1):
-            r_hi = barrett(barrett(s_hi[j], clamp=False) * jnp.int32(256),
-                           clamp=False)
+            r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
             prod = barrett(s_lo[j] + r_hi)                   # [TB, N] clamped
             delta = barrett(tw1 * prod)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
@@ -333,7 +338,6 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
             pltpu.VMEM((r_rows, tb, n), jnp.int8),            # digits
-            pltpu.VMEM((r_rows, tb, n), jnp.int16),           # dhat
             pltpu.VMEM((kp1, tb, n), I32),                    # s_lo
             pltpu.VMEM((kp1, tb, n), I32),                    # s_hi
             pltpu.VMEM((kp1 * tb, 2 * n), jnp.int8),          # x8
