@@ -153,7 +153,11 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         # Static unroll over the R gadget rows: Mosaic needs provably
         # 8-aligned sublane offsets, which constant indices satisfy.
         # (Per-j [TB, N] ops: a broadcast [J, TB, N] formulation measured
-        # ~1.3x SLOWER on a v5e — Mosaic tiles the smaller shapes better.)
+        # ~1.3x SLOWER on a v5e — Mosaic tiles the smaller shapes better.
+        # An f32-FMA MAC with 4-row exact partial sums measured 16% slower
+        # than the i32 multiplies below: v5e i32 vector multiply is not the
+        # bottleneck, and the f32<->i32 converts + partial flushes cost
+        # more than they save — see PERF.md round-3 refutations.)
         for u in range(kp1):
             block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
             out = jax.lax.dot_general(
