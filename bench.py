@@ -24,7 +24,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=32,
                     help="CTR blocks per timed batch (32 = measured knee: "
-                         "33.2 blocks/min at 16, 40.0 at 32; 48 and 64 "
+                         "33.2 blocks/min at 16, 42.8 at 32; 48 and 64 "
                          "exceed the device limits — both fault at warmup)")
     ap.add_argument("--params", choices=["prod", "toy"], default="prod")
     ap.add_argument("--repeats", type=int, default=2)
