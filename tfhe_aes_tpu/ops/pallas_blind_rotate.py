@@ -8,12 +8,12 @@ the per-op XLA pipeline spent ~70% of device time on copies and element-wise
 fusions between dots.  Here everything between the accumulator load and
 store lives in VMEM/registers.
 
-The accumulator lives mod q' = 2^(pbs_base_log*pbs_level) — 2^40 at
-PARAM_OPT — NOT mod 2^64: the gadget decomposition reads exactly the top
-base*level bits, so the mod-switched loop is lossless for it, the
-decomposition becomes EXACT (no per-step rounding), and the CRT range
-shrinks enough for 4 big primes instead of 6 (the noise accounting for the
-q' switch is in ops/blind_rotate.py item 3).
+The accumulator lives mod q' = 2^48 (ops/keys.make_rotate_plan) — NOT mod
+2^64: the gadget decomposition reads exactly the top base*level = 40 bits,
+so the mod-switched loop is lossless for it, the decomposition becomes
+EXACT (no per-step rounding), and the CRT range shrinks enough for 5 big
+primes instead of the mod-2^64 domain's 6 (the noise accounting for the
+q' switch is in ops/blind_rotate.py item 3; q' < 48 fails it — PERF.md).
 
 Per grid cell (batch_tile, prime) — primes innermost so per-tile state
 (gadget digits, CRT accumulators) persists in scratch across the prime loop:
@@ -77,7 +77,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     def kernel(consts_ref, m64b_ref, invp_ref,
                acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                out_hi_ref, out_lo_ref,
-               digits, s_lo, s_hi, x8, acc64_hi,
+               digits, s_lo, s_hi, acc64_hi,
                acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
@@ -143,10 +143,11 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         # Reading the dot result directly also skips the int16 dhat
         # scratch round-trip the staged formulation paid.
         #
-        # MAC bounds: dhat is full balanced <=p/2 < 2^15 (big rotate
-        # primes, crt.rotate_primes), the key side pre-split into 8-bit
-        # limbs: |dhat*g_lo| <= 2^22, 25-term sums < 2^26.7 — int32-safe
-        # with a single multiply per (row, limb).
+        # MAC bounds: dhat is UNCLAMPED balanced |.| <= 1.5p < 2^16.6 (one
+        # barrett, no correction selects — saves 2 selects on each of the
+        # R=25 recombine rows), the key side pre-split into 8-bit limbs:
+        # |dhat*g_lo| <= 1.5p*128 < 2^23.6, 25-term sums < 2^28.3 —
+        # int32-safe with a single multiply per (row, limb).
         s_lo[...] = jnp.zeros_like(s_lo)
         s_hi[...] = jnp.zeros_like(s_hi)
 
@@ -161,9 +162,14 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         for u in range(kp1):
             block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
             out = jax.lax.dot_general(
-                block, wf_ref[0], (((1,), (0,)), ((), ())),
+                block, wf_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)                  # [lev*TB, 2N]
-            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
+            # |lo + 256*hi| <= N*128*128 + 256*N*128*128 < 2^31 and the f32
+            # quotient of a 2^31-magnitude t is within +-1 (abs f32 rounding
+            # ~2^7 at 2^31; error on t*inv_p ~ 2^7/p + 2^-11 << 1/2), so the
+            # unclamped remainder satisfies |dr| <= 1.5p (MAC bound above).
+            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
+                        clamp=False)
             dh = t.reshape(lev, tb, n)
             for l in range(lev):
                 r = u * lev + l
@@ -174,63 +180,81 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                     s_lo[j] += dr * glo
                     s_hi[j] += dr * ghi
 
-        # -- recombine limb products, twiddle-rotate, split for the INTT ----
+        # -- per-j: recombine, twiddle-rotate, INTT dot, CRT accumulate -----
+        # Emitted per output component j so Mosaic can hide the [TB, 2N] @
+        # [2N, 2N] INTT dot (MXU) of component j under the VPU twiddle chain
+        # of j+1 and the CRT chains of j-1 — the same interleave that hid
+        # the forward dots under the MAC (PERF.md round 3b).  This also
+        # deletes the x8 int8 scratch round-trip (store + reload between the
+        # chain and one monolithic [J*TB, 2N] dot).
+        #
         # Clamp analysis (p < 2^16, rotate primes <= 64513):
-        #   s_hi unclamped barrett: |.| <= 1.5p < 2^16.6 -> *256 <= 2^24.6,
-        #   added raw to s_lo < 2^26.7: sum <= 2^27.3 — int32-safe, and the
-        #   f32 quotient stays within +-1 (t rounds to f32 with abs error
-        #   <= 2^27.3 * 2^-24 ~ 10, error on t*inv_p ~ 10/p + 2^-11.7 << 1)
-        #   so ONE barrett recombines both limbs;
+        #   s_lo/s_hi <= 25 * 1.5p * 128 < 2^28.3 (unclamped-dr MAC bound);
+        #   s_hi unclamped barrett: f32 quotient within +-1 at 2^28.3 (abs
+        #   f32 rounding of t ~ 2^4.3; error on t*inv_p ~ 2^4.3/p + 2^-11.7
+        #   << 1/2) -> |r_hi| <= 1.5p -> *256 <= 2^24.6, added raw to s_lo:
+        #   sum <= 2^28.4 — int32-safe, ONE barrett recombines both limbs;
         #   prod IS clamped (|prod| <= p/2): |tw-1| <= p/2 + 1 ->
         #   |(tw-1)*prod| <= (p/2+1)*p/2 < 2^30 < 2^31 - 1: no overflow.
         #   (unclamped prod would give 1.5p*(p/2+1) ~ 2^31.6 — the ONE clamp
-        #   the bigger 4-prime basis costs vs the old 6x 2^15.5 primes.)
+        #   the big-prime basis costs vs the mod-2^64 domain's 2^15.5 ones.)
         #   delta IS clamped: the int8 limb split needs |delta| <= p/2.
+        #
+        # INTT/CRT bounds: |zz lo|,|zz hi| <= 2N*128*128 = 2^24 raw dot
+        # outputs; r_hi = barrett(zz_hi) unclamped <= 1.5p -> <<8 <= 2^24.6
+        # (+ zz_lo 2^24 stays int32-safe); |z| <= 1.5p, so the sign fix
+        # gives y in [0, 1.5p) < 2^16.6 — the CRT limb products (y * 8-bit)
+        # stay < 2^24.6 and the fp24 alpha product < 1.5*2^24 (5-term prime
+        # sum < 2^27.5), both in budget, and the explicit-CRT identity is
+        # invariant under y -> y + p (the alpha sum shifts by exactly 1).
+        # Alpha-rounding robustness: per-term fixed-point error <= y/2^24
+        # < 2^-7.4, 5 terms < 2^-5.1; |true x|/M <= 2^60.64/2^63.57 = 0.13
+        # (crt.rotate_primes margin) -> total distance from the round
+        # boundary > 0.3.
         tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
-        for j in range(kp1):
+
+        def chain(j):
             r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
             prod = barrett(s_lo[j] + r_hi)                   # [TB, N] clamped
             delta = barrett(tw1 * prod)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
             l8 = delta - (h8 << jnp.int32(8))
-            x8[j * tb:(j + 1) * tb, :n] = l8.astype(jnp.int8)
-            x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
+            return jnp.concatenate([l8, h8], axis=1).astype(jnp.int8)
 
-        # -- inverse NTT + explicit CRT accumulation ------------------------
-        # Unclamped barretts: |r_hi| <= 1.5p < 2^16.6 -> <<8 <= 2^24.6
-        # (+ zz_lo 2^24 stays int32-safe); |z| <= 1.5p, so the sign fix
-        # gives y in [0, 1.5p) < 2^16.6 — the CRT limb products (y * 8-bit)
-        # stay < 2^24.6 and the fp24 alpha product < 2^25 (4-term sum
-        # < 2^27), both in budget, and the explicit-CRT identity is
-        # invariant under y -> y + p (the alpha sum shifts by exactly 1).
-        # Alpha-rounding robustness: per-term fixed-point error <= y/2^24
-        # < 2^-7.4, 4 terms < 2^-5.4; |true x|/M <= 2^60.64/2^63.57 = 0.13
-        # (crt.rotate_primes margin) -> total distance from the round
-        # boundary > 0.31.
-        zz = jax.lax.dot_general(
-            x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=I32)                      # [J*TB, 2N]
-        r_hi = barrett(zz[:, n:], clamp=False)
-        z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)), clamp=False)
-        y = jnp.where(z < 0, z + p, z)                       # [J*TB, N]
-        alpha[...] += y * fp24
+        def crt_acc(j, zz):
+            r2 = barrett(zz[:, n:], clamp=False)
+            z = barrett(zz[:, :n] + (r2 << jnp.int32(8)), clamp=False)
+            y = jnp.where(z < 0, z + p, z)                   # [TB, N]
+            sl = slice(j * tb, (j + 1) * tb)
+            alpha[sl] += y * fp24
+            yu = y.astype(U32)
+            a_lo = acc64_lo[sl]
+            a_hi = acc64_hi[sl]
+            for i in range(nbytes):
+                pp = yu * consts_ref[k, 2 + i].astype(U32)   # < 2^24.6
+                if i < 4:
+                    lopart = pp << _u32c(8 * i)
+                    hipart = pp >> _u32c(32 - 8 * i) if i > 0 \
+                        else _u32c(0) * pp
+                    new_lo = a_lo + lopart
+                    a_hi = a_hi + hipart + jnp.where(new_lo < lopart,
+                                                     _u32c(1), _u32c(0))
+                    a_lo = new_lo
+                else:
+                    a_hi = a_hi + (pp << _u32c(8 * i - 32))
+            acc64_lo[sl] = a_lo
+            acc64_hi[sl] = a_hi
 
-        yu = y.astype(U32)
-        a_lo = acc64_lo[...]
-        a_hi = acc64_hi[...]
-        for i in range(nbytes):
-            pp = yu * consts_ref[k, 2 + i].astype(U32)       # < 2^24.6
-            if i < 4:
-                lopart = pp << _u32c(8 * i)
-                hipart = pp >> _u32c(32 - 8 * i) if i > 0 else _u32c(0) * pp
-                new_lo = a_lo + lopart
-                a_hi = a_hi + hipart + jnp.where(new_lo < lopart,
-                                                 _u32c(1), _u32c(0))
-                a_lo = new_lo
-            else:
-                a_hi = a_hi + (pp << _u32c(8 * i - 32))
-        acc64_lo[...] = a_lo
-        acc64_hi[...] = a_hi
+        # Software pipeline: chain(j+1) is emitted BETWEEN dot(j) and
+        # crt(j), giving the scheduler adjacent independent MXU/VPU work.
+        xj = chain(0)
+        for j in range(kp1):
+            zz = jax.lax.dot_general(
+                xj, inv_ref[k], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)                  # [TB, 2N]
+            if j + 1 < kp1:
+                xj = chain(j + 1)
+            crt_acc(j, zz)
 
         # -- k == P-1: alpha rounding, delta = acc - alpha*M mod 2^q, store -
         # Junk above bit q-32 of the hi plane is harmless: the decompose
@@ -330,9 +354,14 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
                          memory_space=pltpu.SMEM),            # 1/p f32
             acc_spec,                                         # acc hi
             acc_spec,                                         # acc lo
-            pl.BlockSpec((1, n, 2 * n), lambda t, k: _i(k, 0, 0),
+            # Whole [P, ...] matrix stacks with a CONSTANT index map: Mosaic
+            # skips the copy-in when the block index is unchanged, so the
+            # ~7.7 MB of NTT matrices stream from HBM once per kernel call
+            # instead of 1.5 MB per grid cell (~120 MB/step at batch 2048).
+            # The kernel indexes the prime's slice with the k program id.
+            pl.BlockSpec((pcount, n, 2 * n), lambda t, k: _i(0, 0, 0),
                          memory_space=pltpu.VMEM),            # fwd_full
-            pl.BlockSpec((1, 2 * n, 2 * n), lambda t, k: _i(k, 0, 0),
+            pl.BlockSpec((pcount, 2 * n, 2 * n), lambda t, k: _i(0, 0, 0),
                          memory_space=pltpu.VMEM),            # inv_crt_full
             pl.BlockSpec((1, r_rows * 2 * kp1, n), lambda t, k: _i(k, 0, 0),
                          memory_space=pltpu.VMEM),            # bsk step rows
@@ -344,7 +373,6 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
             pltpu.VMEM((r_rows, tb, n), jnp.int8),            # digits
             pltpu.VMEM((kp1, tb, n), I32),                    # s_lo
             pltpu.VMEM((kp1, tb, n), I32),                    # s_hi
-            pltpu.VMEM((kp1 * tb, 2 * n), jnp.int8),          # x8
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 hi
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 lo
             pltpu.VMEM((kp1 * tb, n), I32),                   # alpha
