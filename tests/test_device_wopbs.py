@@ -90,6 +90,28 @@ def test_device_many_wopbs_sbox(params):
         assert got_m2 == int(mul2_sbox[byte]), f"mul2(sbox)({byte:#x})"
 
 
+def test_many_wopbs_chunked_matches_unchunked(ctx):
+    """The lax.map byte-chunked VP tail is bit-identical to the monolithic
+    path, for both shared and per-batch LUT stacks (the round-4 batch-
+    ceiling fix: many_wopbs chunks its packing/VP working set)."""
+    client, dkeys = ctx
+    p = client.params
+    sbox = tables.sbox()
+    lut = jnp.asarray(luts.lut_polys_from_tables(p, sbox[None], 8))
+    byte_cts = jnp.asarray(np.stack(
+        [client.encrypt_byte(b) for b in (0x00, 0x53, 0xff, 0x1c)]))
+
+    full = np.asarray(wopbs.many_wopbs(dkeys, byte_cts, lut, vp_chunk=4))
+    chunked = np.asarray(wopbs.many_wopbs(dkeys, byte_cts, lut, vp_chunk=2))
+    assert np.array_equal(full, chunked)
+
+    per_batch = jnp.asarray(np.broadcast_to(
+        np.asarray(lut), (4,) + lut.shape[1:]).copy())
+    chunked_pb = np.asarray(
+        wopbs.many_wopbs(dkeys, byte_cts, per_batch, vp_chunk=2))
+    assert np.array_equal(full, chunked_pb)
+
+
 @pytest.mark.slow
 def test_fast_keygen_pipeline():
     """Device-accelerated keygen produces working evaluation keys."""

@@ -1,0 +1,68 @@
+"""Analytic noise certification (utils/noise_model) vs measured reality.
+
+The measured constants are pinned from NOISE_REPORT.md (TPU v5e, 4096
+samples each, scripts/noise_study.py).  The analytic model must
+  (a) never predict BELOW measurement (it is built to be conservative), and
+  (b) stay within 1.5 bits of it (so the certificate is about the real
+      pipeline, not a vacuous overestimate),
+and the certified failure margins must clear the 9.15-sigma p_fail 2^-64
+bar the reference's parameters were optimized for (client.rs:26-30).
+"""
+
+import math
+
+from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
+from tfhe_aes_tpu.utils import noise_model
+
+# NOISE_REPORT.md, round 3 (device, PARAM_OPT):
+MEASURED_SIGMA_PBS_LOG2 = 32.09      # boolean PBS (twiddle kernel)
+MEASURED_SIGMA_WOPBS_LOG2 = 53.25    # fresh many-LUT WoPBS output
+
+
+def test_model_brackets_measured_pbs():
+    b = noise_model.budget(PARAM_OPT)
+    assert b.sigma_pbs >= MEASURED_SIGMA_PBS_LOG2, (
+        "model predicts below measurement — no longer conservative")
+    assert b.sigma_pbs <= MEASURED_SIGMA_PBS_LOG2 + 1.5, (
+        "model drifted >1.5 bits above measurement")
+
+
+def test_model_brackets_measured_wopbs():
+    b = noise_model.budget(PARAM_OPT, vp_steps=8)   # measured on 8-bit LUTs
+    assert b.sigma_wopbs >= MEASURED_SIGMA_WOPBS_LOG2
+    assert b.sigma_wopbs <= MEASURED_SIGMA_WOPBS_LOG2 + 1.5
+
+
+def test_pfail_certified_at_param_opt():
+    b = noise_model.budget(PARAM_OPT)               # worst case: 9-bit VP
+    assert b.certified
+    assert b.margin_decrypt >= noise_model.PFAIL_SIGMAS
+    assert b.margin_pbs_input >= noise_model.PFAIL_SIGMAS
+    # The binding constraint is the blind-rotate input (keyswitch +
+    # mod-switch dominated) — the same constraint the reference's optimizer
+    # bound at 9.15 sigma; the exact-NTT pipeline clears it ~3.7x.
+    assert b.margin_pbs_input >= 3 * noise_model.PFAIL_SIGMAS
+    # Union bound over every analog event in one AES block (2560 PBS-class
+    # inputs + 128 decryptions, SURVEY.md 3.2) still clears 2^-64.
+    assert b.log2_pfail_per_bit() + math.log2(2560 + 128) < -64
+
+
+def test_bsk_rounding_dominates_key_noise():
+    """The mod-2^48 body rounding residual is the dominant BSK row error
+    (2^14.3 vs key noise 2^12.5) — the documented cost of the rotate
+    domain; q' = 64 must recover the pure key-noise floor."""
+    b48 = noise_model.budget(PARAM_OPT, rotate_q_bits=48)
+    b64 = noise_model.budget(PARAM_OPT, rotate_q_bits=64)
+    assert b48.sigma_bsk_eff > b64.sigma_bsk_eff
+    assert abs(b64.sigma_bsk_eff
+               - math.log2(PARAM_OPT.glwe_noise_std * 2.0 ** 64)) < 0.01
+    # and the q'=40 design NOISE_REPORT records as broken must indeed show
+    # a far larger PBS sigma than the shipped q'=48
+    b40 = noise_model.budget(PARAM_OPT, rotate_q_bits=40)
+    assert b40.sigma_pbs > b48.sigma_pbs + 5
+
+
+def test_toy_params_evaluate():
+    """Model runs on the toy set (no certification claim — zero security)."""
+    b = noise_model.budget(PARAM_TOY)
+    assert b.sigma_wopbs > 0

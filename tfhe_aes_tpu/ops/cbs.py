@@ -69,22 +69,38 @@ def pfpksk_apply_all(keys: DeviceKeys, big_lwe_u64: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(out.shape[:-1] + (kp1, kp1, n))
 
 
-def circuit_bootstrap(keys: DeviceKeys,
-                      lwe_small_u64: jnp.ndarray) -> jnp.ndarray:
-    """[B, n+1] bit -> GGSW NTT residues [P, B, R2, k+1, N] int32.
+def cbs_pbs_levels(keys: DeviceKeys,
+                   lwe_small_u64: jnp.ndarray) -> jnp.ndarray:
+    """The PBS half of circuit bootstrap: [B, n+1] -> [cbs_level, B, big+1].
 
-    R2 = (k+1) * cbs_level, component-major (u*cbs_level + l) — matching
-    decompose.glwe_digits_flat for the vertical-packing external products.
+    Kept separate from the packing/staging tail so callers can run the
+    blind rotates at the FULL batch (they are compute-steady from ~2048
+    bits) while chunking the memory-heavy tail (ops/wopbs.many_wopbs)."""
+    p = keys.params
+    return jnp.stack([
+        pbs_boolean(keys, lwe_small_u64, 64 - p.cbs_base_log * (l + 1))
+        for l in range(p.cbs_level)])
+
+
+def cbs_stage_ggsw(keys: DeviceKeys, bigs: jnp.ndarray) -> jnp.ndarray:
+    """Packing keyswitch + NTT staging: [lev, B, big+1] -> GGSW residues.
+
+    Returns [P, B, R2, k+1, N] int32, R2 = (k+1) * cbs_level,
+    component-major (u*cbs_level + l) — matching decompose.glwe_digits_flat
+    for the vertical-packing external products.
     """
     p = keys.params
     plan = keys.plan
-    rows = []
-    for l in range(p.cbs_level):
-        scale_log = 64 - p.cbs_base_log * (l + 1)
-        big = pbs_boolean(keys, lwe_small_u64, scale_log)
-        rows.append(pfpksk_apply_all(keys, big))     # [B, u, j, N] u64
+    rows = [pfpksk_apply_all(keys, bigs[l])          # [B, u, j, N] u64
+            for l in range(p.cbs_level)]
     g = jnp.stack(rows, axis=2)                      # [B, u, lev, j, N]
     sh = g.shape
     g = g.reshape(sh[0], sh[1] * sh[2], sh[3], sh[4])  # [B, R2, j, N]
     res = ntt.u64_to_residues(plan, g)               # [P, B, R2, j, N] bal
     return ntt.ntt_fwd_residues(plan, res, keys.fwd_limbs)
+
+
+def circuit_bootstrap(keys: DeviceKeys,
+                      lwe_small_u64: jnp.ndarray) -> jnp.ndarray:
+    """[B, n+1] bit -> GGSW NTT residues [P, B, R2, k+1, N] int32."""
+    return cbs_stage_ggsw(keys, cbs_pbs_levels(keys, lwe_small_u64))

@@ -14,6 +14,7 @@ Ciphertext layout: a "byte" is its 8 bit-level big-LWE rows, LSB first
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import cbs as cbs_mod
@@ -43,8 +44,28 @@ def circuit_bootstrap_bits(keys: DeviceKeys,
     return jnp.moveaxis(g, 2, 0)                # [nbits, P, B, R2, k+1, N]
 
 
+def _stage_and_pack(keys: DeviceKeys, bigs: jnp.ndarray, Bb: int, nbits: int,
+                    lut_polys_u64: jnp.ndarray) -> jnp.ndarray:
+    """CBS tail + VP for one byte chunk: bigs [lev, Bb*nbits, big+1]."""
+    g = cbs_mod.cbs_stage_ggsw(keys, bigs)      # [P, Bb*nbits, R2, k+1, N]
+    P = g.shape[0]
+    g = g.reshape((P, Bb, nbits) + g.shape[2:])
+    ggsw = jnp.moveaxis(g, 2, 0)                # [nbits, P, Bb, R2, k+1, N]
+    return vertical_packing.vertical_packing(keys, ggsw, lut_polys_u64)
+
+
+def _chunk_size(b: int, target: int) -> int:
+    if b <= target:
+        return b
+    for c in range(target, 0, -1):
+        if b % c == 0:
+            return c
+    return b
+
+
 def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
-               lut_polys_u64: jnp.ndarray) -> jnp.ndarray:
+               lut_polys_u64: jnp.ndarray, *,
+               vp_chunk: int = 512) -> jnp.ndarray:
     """Evaluate L LUT output polynomials on a batch of radix "bytes".
 
     byte_bits_big: [B, nbits, big+1] u64 — nbits 1-bit blocks, LSB first.
@@ -52,14 +73,42 @@ def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
                    (C > 1 engages the CMux tree when 2^nbits > N).
     Returns [B, L, big+1] u64 — fresh big-LWEs of each output bit, noise
     level NOMINAL (the reference stamps the same, many_wopbs.rs:100-109).
+
+    The CBS blind rotates run at the FULL bit batch (compute-steady from
+    ~2048 bits, PERF.md), but the packing-keyswitch / NTT-staging / vertical
+    packing tail is chunked over at most `vp_chunk` bytes via lax.map: the
+    VP working set ([B, L, C, k+1, N] u64 accumulators plus [P, B, L*C, R, N]
+    int32 external-product intermediates) otherwise grows ~linearly with B
+    and faulted the device above 32 CTR blocks (512 bytes) — the round-3
+    batch ceiling.  The reference's dyn-stack scratch discipline
+    (many_wopbs.rs:121-157) always fits for the same reason: it sizes the
+    hot loop's scratch independently of how many inputs are queued.
     """
+    B, nbits = byte_bits_big.shape[0], byte_bits_big.shape[1]
     small = extract_bits(keys, byte_bits_big)
-    ggsw = circuit_bootstrap_bits(keys, small)
-    return vertical_packing.vertical_packing(keys, ggsw, lut_polys_u64)
+    flat = small.reshape(B * nbits, -1)
+    bigs = cbs_mod.cbs_pbs_levels(keys, flat)   # [lev, B*nbits, big+1]
+
+    bc = _chunk_size(B, vp_chunk)
+    if bc == B:
+        return _stage_and_pack(keys, bigs, B, nbits, lut_polys_u64)
+    nc = B // bc
+    lev = bigs.shape[0]
+    np1 = bigs.shape[-1]
+    bigs_c = bigs.reshape(lev, nc, bc * nbits, np1).swapaxes(0, 1)
+    if lut_polys_u64.shape[0] == 1:             # batch-shared LUT stack
+        out = jax.lax.map(
+            lambda bg: _stage_and_pack(keys, bg, bc, nbits, lut_polys_u64),
+            bigs_c)
+    else:                                       # per-batch-element LUTs
+        luts_c = lut_polys_u64.reshape((nc, bc) + lut_polys_u64.shape[1:])
+        out = jax.lax.map(
+            lambda xs: _stage_and_pack(keys, xs[0], bc, nbits, xs[1]),
+            (bigs_c, luts_c))
+    return out.reshape((B,) + out.shape[2:])
 
 
 # Jitted entry point: compiled once per (key shapes, batch, LUT stack) and
 # reused across AES rounds / key-expansion words / CTR ripple steps.  Inlines
 # harmlessly when a caller jits a larger region around it.
-import jax as _jax  # noqa: E402
-many_wopbs_jit = _jax.jit(many_wopbs)
+many_wopbs_jit = jax.jit(many_wopbs, static_argnames=("vp_chunk",))
