@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("--params", choices=["prod", "toy"], default="prod")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--decrypt", type=int, default=0, metavar="N",
+                    help="also time homomorphic AES decryption of N blocks "
+                         "of the produced keystream (reference: ~2x encrypt "
+                         "cost, README.md:161-163) and verify the "
+                         "round-trip; reported on stderr, the stdout metric "
+                         "stays the encrypt headline")
     args = ap.parse_args(argv)
 
     import jax
@@ -116,9 +122,11 @@ def main(argv=None) -> int:
     last_offset = 0
     for i in range(args.repeats):
         last_offset = (i + 1) * B
-        pre = luts_for(last_offset)  # host LUT build outside the timing
+        # Host LUT build INSIDE the timing: a deployment pays it per batch.
+        # (It is vectorized numpy, ~0.1 s at 128 blocks — models/luts.py.)
         t0 = time.time()
-        out = sync(fhe_aes.ctr_step_jit(dkeys, rks, enc_iv, *pre))
+        out = sync(fhe_aes.ctr_step_jit(dkeys, rks, enc_iv,
+                                        *luts_for(last_offset)))
         times.append(time.time() - t0)
         print(f"# repeat {i}: {times[-1]:.2f}s", file=sys.stderr)
     t_batch = min(times)
@@ -145,6 +153,33 @@ def main(argv=None) -> int:
         # and large D2H right after long programs has faulted the tunnel.
         client.verify_ctr_device(out, KEY, IV, offset=last_offset)
         print("# verified bit-exact vs plaintext AES", file=sys.stderr)
+
+    if args.decrypt:
+        # Homomorphic decryption benchmark (server.rs:67-105; the reference
+        # documents ~2x encrypt cost, README.md:161-163).  Round keys are
+        # reused; the round-trip must recover the counter plaintexts.
+        nd = min(args.decrypt, B)
+        ct = out[:nd]
+        t0 = time.time()
+        back = sync(fhe_aes.aes_decrypt_jit(dkeys, rks, ct))
+        print(f"# decrypt warmup ({nd} blocks): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        back = sync(fhe_aes.aes_decrypt_jit(dkeys, rks, ct))
+        t_dec = time.time() - t0
+        print(f"# homomorphic decrypt: {t_dec:.2f}s for {nd} blocks = "
+              f"{nd / t_dec * 60:.2f} blocks/min "
+              f"(encrypt: {blocks_per_min:.2f})", file=sys.stderr)
+        if not args.skip_verify:
+            from tfhe_aes_tpu.models import aes_plain
+            bits = client.decrypt_bits_device(back).astype(np.int64)
+            byts = (bits << np.arange(8)).sum(axis=-1)
+            for i in range(nd):
+                got = aes_plain.bytes_be_to_u128([int(b) for b in byts[i]])
+                want = (IV + last_offset + i) % (1 << 128)
+                assert got == want, f"decrypt round-trip block {i}"
+            print(f"# decrypt round-trip verified ({nd} blocks)",
+                  file=sys.stderr)
 
     return 0
 

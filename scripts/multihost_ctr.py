@@ -59,12 +59,13 @@ def worker(args) -> None:
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from tfhe_aes_tpu.params import PARAM_TOY
+    from tfhe_aes_tpu.params import PARAM_TOY, PARAM_OPT
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.models import aes_plain, fhe_aes
     from tfhe_aes_tpu.parallel import mesh as mesh_mod
 
-    params = PARAM_TOY if args.params == "toy" else tiny_params()
+    params = {"toy": PARAM_TOY, "prod": PARAM_OPT}.get(args.params) \
+        or tiny_params()
     n_mp = args.mp
     devs = jax.devices()
     n_dp = len(devs) // n_mp
@@ -80,7 +81,13 @@ def worker(args) -> None:
     # process feeds only its addressable shards.
     import dataclasses
     client = Client(params, seed=args.seed)
-    raw = client.make_device_keys()
+    cache = serialization.cache_path(params, args.seed)
+    if args.params == "prod" and cache.exists():
+        # Production keygen is minutes-scale; every process loads the same
+        # cached key material (still the replicate-everywhere strategy).
+        client.sk, raw = serialization.load_keys(cache)
+    else:
+        raw = client.make_device_keys()
     row = NamedSharding(mesh, P("mp"))
     sharded_fields = {"ksk_limbs", "pfpksk_limbs"} if args.shard_keys \
         else set()
@@ -155,10 +162,18 @@ def launch(args) -> int:
     port = 37741 + (os.getpid() % 1000)
     results = {}
     n_cores = os.cpu_count() or 1
+    # Hardware parallelism actually granted to the N-proc run: with more
+    # emulated hosts than cores, workers are pinned round-robin (pid %
+    # n_cores) and the ideal speedup vs the 1-proc baseline is n_cores, not
+    # N — efficiency below normalizes by this, so 4- and 8-process runs on
+    # a small box still measure what they should: per-process SPMD overhead
+    # (gRPC coordination, compile skew, collective fan-in) at fixed
+    # hardware.
+    hw_par = min(args.procs, n_cores) if args.pin_cores else args.procs
     if args.pin_cores and args.procs > n_cores:
-        print(f"# --pin-cores needs >= {args.procs} cores, have {n_cores}",
+        print(f"# oversubscribed: {args.procs} emulated hosts round-robin-"
+              f"pinned onto {n_cores} cores (ideal speedup {hw_par}x)",
               file=sys.stderr)
-        return 2
     for procs in ([1, args.procs] if args.scaling else [args.procs]):
         outs = []
         children = []
@@ -203,10 +218,11 @@ def launch(args) -> int:
         print(f"# procs={procs}: {bpm:.2f} blocks/min, "
               f"{len(verified)}/{args.blocks} blocks verified", flush=True)
     if args.scaling and 1 in results:
-        eff = results[args.procs] / (results[1] * args.procs)
+        eff = results[args.procs] / (results[1] * hw_par)
         print(json.dumps({
             "metric": "multihost_scaling_efficiency",
             "procs": args.procs, "blocks": args.blocks,
+            "hw_parallelism": hw_par,
             "blocks_per_min_1proc": results[1],
             "blocks_per_min_nproc": results[args.procs],
             "efficiency": round(eff, 3),
@@ -218,7 +234,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--blocks", type=int, default=32)
-    ap.add_argument("--params", choices=["dryrun", "toy"], default="dryrun")
+    ap.add_argument("--params", choices=["dryrun", "toy", "prod"],
+                    default="dryrun")
     ap.add_argument("--mp", type=int, default=1)
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)

@@ -64,16 +64,21 @@ def make_ablated_kernel(ablate: set):
         def kernel(consts_ref, m64b_ref, invp_ref,
                    acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                    out_hi_ref, out_lo_ref,
-                   digits, s_lo, s_hi, x8, acc64_hi,
+                   digits, s_lo, s_hi, acc64_hi,
                    acc64_lo, alpha):
             k = pl.program_id(1)
             p = consts_ref[k, 0]
             fp24 = consts_ref[k, 1]
             inv_p = invp_ref[k, 0]
 
-            def barrett(t):
+            # Mirrors the production barrett exactly, including the
+            # clamp=False call sites (ADVICE r3: the ablate copy must not
+            # run extra correction selects the production kernel skips).
+            def barrett(t, clamp=True):
                 q = jnp.round(t.astype(jnp.float32) * inv_p).astype(I32)
                 r = t - q * p
+                if not clamp:
+                    return r
                 half = (p - 1) >> 1
                 r = jnp.where(r > half, r - p, r)
                 return jnp.where(r < -half, r + p, r)
@@ -113,7 +118,8 @@ def make_ablated_kernel(ablate: set):
                 acc64_lo[...] = jnp.zeros_like(acc64_lo)
                 alpha[...] = jnp.zeros_like(alpha)
 
-            # Interleaved dot/MAC per u (mirrors the production kernel)
+            # Interleaved dot/MAC per u (mirrors the production kernel,
+            # incl. the round-4 unclamped fwd recombine)
             s_lo[...] = jnp.zeros_like(s_lo)
             s_hi[...] = jnp.zeros_like(s_hi)
             for u in range(kp1):
@@ -121,9 +127,10 @@ def make_ablated_kernel(ablate: set):
                     block = digits[u * lev:(u + 1) * lev].reshape(
                         lev * tb, n)
                     out = jax.lax.dot_general(
-                        block, wf_ref[0], (((1,), (0,)), ((), ())),
+                        block, wf_ref[k], (((1,), (0,)), ((), ())),
                         preferred_element_type=I32)
-                    t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)))
+                    t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
+                                clamp=False)
                     dh = t.reshape(lev, tb, n)
                 else:
                     dh = digits[u * lev:(u + 1) * lev].astype(I32)
@@ -141,32 +148,35 @@ def make_ablated_kernel(ablate: set):
                         s_lo[j] += dr * glo
                         s_hi[j] += dr * ghi
 
-            if "twiddle" not in ablate:
-                tw = tw_ref[0].astype(I32)
-                for j in range(kp1):
-                    r_hi = barrett(s_hi[j]) * jnp.int32(256)
-                    prod = barrett(s_lo[j] + r_hi)
-                    delta = barrett(tw * prod - prod)
-                    h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
-                    l8 = delta - (h8 << jnp.int32(8))
-                    x8[j * tb:(j + 1) * tb, :n] = l8.astype(jnp.int8)
-                    x8[j * tb:(j + 1) * tb, n:] = h8.astype(jnp.int8)
+            # Per-j software pipeline (production round-4 structure):
+            # chain(j+1) emitted between dot(j) and crt(j).
+            tw1 = tw_ref[0].astype(I32) - jnp.int32(1)
 
-            if "intt" not in ablate:
-                zz = jax.lax.dot_general(
-                    x8[...], inv_ref[0], (((1,), (0,)), ((), ())),
-                    preferred_element_type=I32)
-                r_hi = barrett(zz[:, n:])
-                z = barrett(zz[:, :n] + (r_hi << jnp.int32(8)))
-                y = jnp.where(z < 0, z + p, z)
-            else:
-                y = jnp.zeros((kp1 * tb, n), I32)
-            alpha[...] += y * fp24
+            def chain(j):
+                if "twiddle" in ablate:
+                    return jnp.zeros((tb, 2 * n), jnp.int8)
+                r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
+                prod = barrett(s_lo[j] + r_hi)
+                delta = barrett(tw1 * prod)
+                h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
+                l8 = delta - (h8 << jnp.int32(8))
+                return jnp.concatenate([l8, h8], axis=1).astype(jnp.int8)
 
-            if "crt" not in ablate:
+            def crt_acc(j, zz):
+                if "intt" not in ablate:
+                    r2 = barrett(zz[:, n:], clamp=False)
+                    z = barrett(zz[:, :n] + (r2 << jnp.int32(8)),
+                                clamp=False)
+                    y = jnp.where(z < 0, z + p, z)
+                else:
+                    y = jnp.zeros((tb, n), I32)
+                sl = slice(j * tb, (j + 1) * tb)
+                alpha[sl] += y * fp24
+                if "crt" in ablate:
+                    return
                 yu = y.astype(U32)
-                a_lo = acc64_lo[...]
-                a_hi = acc64_hi[...]
+                a_lo = acc64_lo[sl]
+                a_hi = acc64_hi[sl]
                 for i in range(nbytes):
                     pp = yu * consts_ref[k, 2 + i].astype(U32)
                     if i < 4:
@@ -179,8 +189,20 @@ def make_ablated_kernel(ablate: set):
                         a_lo = new_lo
                     else:
                         a_hi = a_hi + (pp << _u32c(8 * i - 32))
-                acc64_lo[...] = a_lo
-                acc64_hi[...] = a_hi
+                acc64_lo[sl] = a_lo
+                acc64_hi[sl] = a_hi
+
+            xj = chain(0)
+            for j in range(kp1):
+                if "intt" not in ablate:
+                    zz = jax.lax.dot_general(
+                        xj, inv_ref[k], (((1,), (0,)), ((), ())),
+                        preferred_element_type=I32)
+                else:
+                    zz = jnp.zeros((tb, 2 * n), I32)
+                if j + 1 < kp1:
+                    xj = chain(j + 1)
+                crt_acc(j, zz)
 
             @pl.when(k == pcount - 1)
             def _finalize():

@@ -55,16 +55,19 @@ def main():
           f"{dt*1e3:.1f} ms  ({dt/p.lwe_dimension*1e6:.1f} us/step)  "
           f"runs={['%.1f' % (t*1e3) for t in times]}", flush=True)
 
-    # bit-exactness spot check vs the XLA (non-Pallas) path on 16 rows
+    # bit-exactness spot check vs the XLA (non-Pallas) path on a strided
+    # slice spanning multiple batch tiles (ADVICE r3: first-16-rows only
+    # would miss a tile-boundary bug beyond the first tb block)
     from tfhe_aes_tpu.ops import blind_rotate as br
-    sl = small[:16]
+    rows = sorted({0, 1, batch // 4, batch // 2, 3 * batch // 4, batch - 1})
+    sl = small[np.array(rows)]
     os.environ["TFHE_AES_TPU_BLIND_ROTATE"] = "xla"
     ref = jax.jit(lambda k, s, t: br.blind_rotate(
         k.rplan, p, k.bsk_limbs, s, t, k.rfwd_limbs, k.fwd_full,
         k.rinv_crt_limbs, k.inv_crt_full, k.rot_table))(dkeys, sl, test)
-    got = np.asarray(out)[:16]
+    got = np.asarray(out)[np.array(rows)]
     assert np.array_equal(np.asarray(ref), got), "MISMATCH vs XLA path"
-    print("bit-exact vs XLA path: OK", flush=True)
+    print(f"bit-exact vs XLA path on rows {rows}: OK", flush=True)
 
 
 if __name__ == "__main__":

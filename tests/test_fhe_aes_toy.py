@@ -102,17 +102,18 @@ def test_add_scalar_carry_chain(ctx):
 
 
 def test_ctr_end_to_end(ctx):
-    """Flagship config #1: key expansion + CTR + verify vs oracle."""
+    """Flagship config #1: key expansion + CTR + verify vs oracle, through
+    the trust-boundary Server facade: the server side holds ONLY evaluation
+    keys + the public key and pk-encrypts RCON itself (server.rs:139-140,
+    main.rs:43-45)."""
+    from tfhe_aes_tpu.server import Server
     client, dkeys = ctx
-    pk = client.make_public_key()
-    rcon_bits = np.stack([
-        np.array([(int(r) >> j) & 1 for j in range(8)], dtype=np.uint64)
-        for r in fhe_aes.tables.RCON])
-    rcon_cts = jnp.asarray(pk.encrypt_bits(rcon_bits, client.rng))
+    server = Server(dkeys, client.make_public_key(),
+                    rng=np.random.default_rng(7))
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
     enc_iv = jnp.asarray(client.encrypt_u128(IV))
-    rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key, rcon_cts)
-    ks_dev = fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 2)
+    rks = server.aes_key_expansion(enc_key, pk_rcon=True)
+    ks_dev = server.ctr_keystream(rks, enc_iv, 2)
     ks = np.asarray(ks_dev)
     got_host = client.decrypt_and_verify_ctr(ks, KEY, IV)
     # Device-resident decrypt path (used by bench/CLI to avoid pulling

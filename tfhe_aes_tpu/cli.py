@@ -19,15 +19,9 @@ import numpy as np
 
 from .params import PARAM_OPT, PARAM_TOY
 from .client.client import Client
-from .models import aes_plain, fhe_aes, tables
+from .models import aes_plain, fhe_aes
+from .server import Server
 from .utils import profiling, serialization
-
-
-def _rcon_cts(client, pk):
-    rcon_bits = np.stack([
-        np.array([(int(r) >> j) & 1 for j in range(8)], dtype=np.uint64)
-        for r in tables.RCON])
-    return pk.encrypt_bits(rcon_bits, client.rng)
 
 
 def run_test_harness(params, n_random: int, seed: int | None = None) -> None:
@@ -45,17 +39,17 @@ def run_test_harness(params, n_random: int, seed: int | None = None) -> None:
     import jax.numpy as jnp
 
     client = Client(params, seed=seed)
-    dkeys = client.make_device_keys()
-    pk = client.make_public_key()
-    rcon = jnp.asarray(_rcon_cts(client, pk))
+    # Trust boundary (main.rs:43-45): the server receives only evaluation
+    # keys + the public key; RCON is pk-encrypted server-side.
+    server = Server(client.make_device_keys(), client.make_public_key())
 
     def one_case(key: int, plains: list[int]) -> None:
         enc_key = jnp.asarray(client.encrypt_u128(key))
-        rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key, rcon)
+        rks = server.aes_key_expansion(enc_key, pk_rcon=True)
         state = jnp.asarray(np.stack([client.encrypt_u128(p)
                                       for p in plains]))
-        ct = fhe_aes.aes_encrypt_jit(dkeys, rks, state)
-        pt = np.asarray(fhe_aes.aes_decrypt_jit(dkeys, rks, ct))
+        ct = server.aes_encrypt(rks, state)
+        pt = np.asarray(server.aes_decrypt(rks, ct))
         ct = np.asarray(ct)
         kb = aes_plain.u128_to_bytes_be(key)
         for i, plain in enumerate(plains):
@@ -160,23 +154,22 @@ def main(argv=None) -> int:
 
     enc_key = client.encrypt_u128(args.key)
     enc_iv = client.encrypt_u128(args.iv)
-    rcon = None
-    if args.pk_rcon:
-        rcon = _rcon_cts(client, client.make_public_key())
+    # Trust boundary (main.rs:43-45): only eval keys, the public key and
+    # encrypted inputs cross to the server; pk-RCON happens server-side.
+    server = Server(dkeys,
+                    client.make_public_key() if args.pk_rcon else None)
 
     import jax.numpy as jnp
     t0 = time.time()
-    round_keys = fhe_aes.aes_key_expansion_jit(
-        dkeys, jnp.asarray(enc_key),
-        None if rcon is None else jnp.asarray(rcon))
+    round_keys = server.aes_key_expansion(jnp.asarray(enc_key),
+                                          pk_rcon=args.pk_rcon)
     round_keys = profiling.device_fence(round_keys)
     t_exp = time.time() - t0
     print(f"[server] AES key expansion took: {t_exp:.2f}s")
 
     n = args.number_of_outputs
     t0 = time.time()
-    ks = fhe_aes.ctr_keystream(dkeys, round_keys, jnp.asarray(enc_iv), n,
-                               offset=0)
+    ks = server.ctr_keystream(round_keys, jnp.asarray(enc_iv), n, offset=0)
     ks = profiling.device_fence(ks)
     t_ctr = time.time() - t0
     pbs_count = n * profiling.count_pbs_per_block(params)
@@ -195,7 +188,7 @@ def main(argv=None) -> int:
 
     if args.decrypt:
         t0 = time.time()
-        back = fhe_aes.aes_decrypt_jit(dkeys, round_keys, ks[:1])
+        back = server.aes_decrypt(round_keys, ks[:1])
         back = jax.block_until_ready(back)
         print(f"[server] homomorphic decrypt (1 block) took "
               f"{time.time()-t0:.2f}s")

@@ -43,7 +43,18 @@ def lut_polys_per_batch(params: ParamSet, tables: np.ndarray,
                         nbits: int, out_bits: int = 8) -> np.ndarray:
     """tables: [B, T, 2^m] — per-batch-element LUTs (CTR add_scalar needs
     LUTs that depend on the per-block counter).  Returns [B, T*out_bits, C, N].
+
+    Fully vectorized over B (an earlier per-b Python loop was O(B) host
+    time on the CTR hot path — the bench builds these per batch).
     """
-    outs = [lut_polys_from_tables(params, tables[b], nbits, out_bits)[0]
-            for b in range(tables.shape[0])]
-    return np.stack(outs)
+    n = params.polynomial_size
+    size = max(1 << nbits, n)
+    C = size // n
+    tables = np.asarray(tables)
+    B, T, m_sz = tables.shape
+    idx = np.arange(size) % m_sz                       # wrap like gen_lut
+    vals = tables[:, :, idx]                           # [B, T, size]
+    ob = np.arange(out_bits, dtype=tables.dtype)
+    bits = (vals[:, :, None, :] >> ob[None, None, :, None]) & 1
+    out = bits.astype(np.uint64) << U64(63)            # [B, T, OB, size]
+    return out.reshape(B, T * out_bits, C, n)

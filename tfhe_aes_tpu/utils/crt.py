@@ -81,8 +81,10 @@ def rotate_primes(q_bits: int, poly_n: int, base_log: int,
     twiddle product clamped to |prod| <= p/2 in the kernel, every int32 bound
     holds for p < 2^16 (see ops/pallas_blind_rotate.py bound comments), and
     fewer, bigger primes mean proportionally fewer MXU dots / Barrett chains /
-    BSK bytes.  At PARAM_OPT this is 4 primes (vs 6 for the mod-2^64 domain):
-    log2 M = 63.57 vs the required 61.64.
+    BSK bytes.  At PARAM_OPT (q' = 48, ops/keys.make_rotate_plan) this is
+    5 primes vs the mod-2^64 domain's 6: log2 M = 79.2 vs the required
+    68.64.  (4 primes would cover only q' <= 40, whose staging noise fails
+    the GGSW budget — measured dead end, PERF.md round 3.)
     """
     r_rows = (glwe_dim + 1) * levels
     import math
