@@ -87,6 +87,17 @@ def test_key_expansion_pk_rcon(ctx):
         assert got == want[r], f"round key {r}"
 
 
+def test_key_expansion_staged_matches_one_program(ctx):
+    """The staged schedule (11 dispatches of ONE compiled WoPBS — the
+    cold-compile path) must produce bit-identical round keys to the
+    single-program scan."""
+    client, dkeys = ctx
+    enc_key = jnp.asarray(client.encrypt_u128(KEY))
+    a = np.asarray(fhe_aes.aes_key_expansion_jit(dkeys, enc_key))
+    b = np.asarray(fhe_aes.aes_key_expansion_staged(dkeys, enc_key))
+    assert np.array_equal(a, b)
+
+
 def test_add_scalar_carry_chain(ctx):
     client, dkeys = ctx
     iv = 0x000000000000000000000000000001FF  # forces multi-byte carries

@@ -280,6 +280,55 @@ aes_key_expansion_jit = jax.jit(aes_key_expansion,
                                 static_argnames=("rcon_fresh",))
 
 
+@jax.jit
+def _expand_glue(prev_rk, sub, rcon):
+    """Leveled chain of one trivial-RCON expansion round: the n0..n3 sums
+    of round_body_trivial as one tiny jitted program."""
+    temp = sub.at[0].add(rcon)
+    w = prev_rk.reshape(4, 4, 8, prev_rk.shape[-1])
+    n0 = w[0] + temp
+    n1 = w[1] + n0
+    n2 = w[2] + n1
+    n3 = w[3] + n2
+    return jnp.concatenate([n0, n1, n2, n3], axis=0)
+
+
+def aes_key_expansion_staged(keys: DeviceKeys, enc_key):
+    """Trivial-RCON key expansion as 11 dispatches of ONE compiled WoPBS.
+
+    Bit-identical to aes_key_expansion(rcon_fresh=False), but instead of
+    tracing the whole 10-round schedule into one XLA megaprogram (75-378 s
+    to compile on a machine with an empty XLA cache, PERF.md round 3), it
+    reuses a single jitted many_wopbs program — same batch (16 bytes) and
+    LUT stack (identity+SBOX) for every round INCLUDING the prologue, which
+    is padded from 4 to 16 bytes by running it on the whole (reordered)
+    input key and keeping the four RotWord outputs.  Cold-start compile is
+    one WoPBS program + one tiny glue program; warm throughput is the same
+    (the WoPBS dominates each round).
+    """
+    p = keys.params
+    refresh_sbox_l = jnp.asarray(_refresh_sbox_lut(p))
+    rcon_cts = jnp.asarray(trivial_rcon(p))
+    rk0 = enc_key
+
+    # Prologue SubWord, padded to the round shape: bytes 12..15 of the
+    # reordered input are RotWord(w3); the other 12 outputs are discarded
+    # (4 extra vertical packings, no extra circuit bootstraps of interest).
+    order = np.concatenate([np.arange(12), np.array([13, 14, 15, 12])])
+    out = wopbs.many_wopbs_jit(keys, rk0[order], refresh_sbox_l)
+    sub = out[12:16, 8:]
+
+    rk = rk0
+    rks = [rk0]
+    for r in range(10):
+        n = _expand_glue(rk, sub, rcon_cts[r])
+        out = wopbs.many_wopbs_jit(keys, n, refresh_sbox_l)
+        rk = out[:, :8]
+        sub = out[jnp.array([13, 14, 15, 12]), 8:]
+        rks.append(rk)
+    return jnp.stack(rks)
+
+
 # ---------------------------------------------------------------------------
 # Homomorphic CTR increment (server.rs:172-274), exact-carry version
 # ---------------------------------------------------------------------------
@@ -353,20 +402,34 @@ def add_scalar(keys: DeviceKeys, state, i_bytes: np.ndarray):
                                  jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
 
 
-def ctr_step(keys: DeviceKeys, round_keys, enc_iv, lut_lsb, luts_rest):
+def ctr_step(keys: DeviceKeys, round_keys, enc_iv, lut_lsb, luts_rest, *,
+             block_chunk: int = 32):
     """One fused CTR batch: broadcast IV -> ripple-add counters -> AES.
 
     The whole step (16 ripple WoPBS + 10 AES rounds) is one XLA program;
     jitted as ctr_step_jit this is the unit the bench and the sharded mesh
     runner dispatch.  Batch size comes from the LUT stacks' leading axis.
+
+    Batches above `block_chunk` blocks run the AES rounds chunked via
+    lax.map (the single-chip HBM ceiling for the round working set is
+    between 32 and 48 blocks — PERF.md "Batch ceiling"); the ripple-carry
+    counter add still runs at the FULL batch, which is where large batches
+    pay off — its 16 sequential small WoPBS are latency-bound and amortize
+    with B.
     """
+    from ..ops.wopbs import _chunk_size
     B = lut_lsb.shape[0]
     state = jnp.broadcast_to(enc_iv[None], (B,) + enc_iv.shape)
     state = add_scalar_device(keys, state, lut_lsb, luts_rest)
-    return aes_encrypt(keys, round_keys, state)
+    bc = _chunk_size(B, block_chunk)
+    if bc == B:
+        return aes_encrypt(keys, round_keys, state)
+    chunks = state.reshape((B // bc, bc) + state.shape[1:])
+    out = jax.lax.map(lambda st: aes_encrypt(keys, round_keys, st), chunks)
+    return out.reshape((B,) + out.shape[2:])
 
 
-ctr_step_jit = jax.jit(ctr_step)
+ctr_step_jit = jax.jit(ctr_step, static_argnames=("block_chunk",))
 aes_encrypt_jit = jax.jit(aes_encrypt)
 aes_decrypt_jit = jax.jit(aes_decrypt)
 

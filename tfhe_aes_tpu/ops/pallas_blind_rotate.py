@@ -214,9 +214,22 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
 
         def chain(j):
+            # Wrap-Barrett: ONE reduction for recombine+twiddle instead of
+            # three.  u = s_lo + 256*r_hi <= 2^28.4 stays UNREDUCED; the
+            # quotient of tw1*u (true magnitude <= 2^43.4) is estimated in
+            # f32 — error budget: f32(u) rounds within 2^4.4, so
+            # f32(tw1)*f32(u) is within |tw1|*2^4.4 + 2^43.4*2^-24 < 2^20.6
+            # of the true product, the quotient q within 2^20.6/p + 1 < 24
+            # of the true nearest — and the remainder tw1*u - q*p is
+            # computed EXACTLY in wrapping int32 (both terms reduce mod
+            # 2^32; the true remainder <= 24.5p < 2^21 fits), so one final
+            # clamped barrett yields the same canonical delta as the exact
+            # 3-barrett chain (bit-identical; checked vs the XLA path).
             r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
-            prod = barrett(s_lo[j] + r_hi)                   # [TB, N] clamped
-            delta = barrett(tw1 * prod)
+            u = s_lo[j] + r_hi                               # <= 2^28.4
+            qf = jnp.round((tw1.astype(jnp.float32)
+                            * u.astype(jnp.float32)) * inv_p).astype(I32)
+            delta = barrett(tw1 * u - qf * p)
             h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
             l8 = delta - (h8 << jnp.int32(8))
             return jnp.concatenate([l8, h8], axis=1).astype(jnp.int8)

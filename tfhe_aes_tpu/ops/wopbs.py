@@ -65,7 +65,7 @@ def _chunk_size(b: int, target: int) -> int:
 
 def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
                lut_polys_u64: jnp.ndarray, *,
-               vp_chunk: int = 512) -> jnp.ndarray:
+               vp_chunk: int = 256) -> jnp.ndarray:
     """Evaluate L LUT output polynomials on a batch of radix "bytes".
 
     byte_bits_big: [B, nbits, big+1] u64 — nbits 1-bit blocks, LSB first.

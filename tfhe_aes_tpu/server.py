@@ -57,12 +57,15 @@ class Server:
         """enc_key [16, 8, big+1] -> round keys [11, 16, 8, big+1].
 
         pk_rcon=False (default): trivial noise-free RCON encodings and the
-        1-WoPBS/round schedule (documented deviation, fhe_aes.trivial_rcon).
-        pk_rcon=True: reference-faithful — RCON public-key-encrypted by THIS
-        server object (3-WoPBS schedule)."""
-        import jax.numpy as jnp
-        rcon = jnp.asarray(self.encrypt_rcon()) if pk_rcon else None
-        return fhe_aes.aes_key_expansion_jit(self.dkeys, enc_key, rcon)
+        1-WoPBS/round schedule (documented deviation, fhe_aes.trivial_rcon),
+        dispatched through the staged single-compiled-WoPBS driver (fast
+        cold start).  pk_rcon=True: reference-faithful — RCON public-key-
+        encrypted by THIS server object (3-WoPBS schedule)."""
+        if pk_rcon:
+            import jax.numpy as jnp
+            rcon = jnp.asarray(self.encrypt_rcon())
+            return fhe_aes.aes_key_expansion_jit(self.dkeys, enc_key, rcon)
+        return fhe_aes.aes_key_expansion_staged(self.dkeys, enc_key)
 
     def aes_encrypt(self, round_keys, state):
         return fhe_aes.aes_encrypt_jit(self.dkeys, round_keys, state)
