@@ -95,15 +95,6 @@ def main(argv=None) -> int:
 
     B = args.blocks
 
-    # Each timed batch uses a DIFFERENT counter offset: repeats are distinct
-    # keystream work, so no runtime/tunnel layer can satisfy them from a
-    # cache (an earlier revision repeated identical inputs and the device
-    # tunnel returned them in 0.00s).
-    def luts_for(offset):
-        lut_lsb, luts_rest = fhe_aes.add_scalar_luts(
-            params, fhe_aes.counter_bytes(B, offset))
-        return jnp.asarray(lut_lsb), jnp.asarray(luts_rest)
-
     def sync(x):
         # Under the tunneled TPU backend block_until_ready can return at
         # ENQUEUE time; a (tiny) device->host read cannot complete before
@@ -112,10 +103,17 @@ def main(argv=None) -> int:
         np.asarray(jax.device_get(x[0, 0, 0, -1:]))
         return x
 
+    # Each timed batch uses a DIFFERENT counter offset: repeats are distinct
+    # keystream work, so no runtime/tunnel layer can satisfy them from a
+    # cache (an earlier revision repeated identical inputs and the device
+    # tunnel returned them in 0.00s).  Host LUT construction is INSIDE the
+    # timed region (a deployment pays it per batch; vectorized numpy,
+    # ~0.1 s at 128 blocks — models/luts.py).  Batches > 32 blocks run the
+    # ripple at full batch plus chunked AES dispatches (fhe_aes.
+    # ctr_keystream — the single-dispatch device ceiling is 32 blocks).
     def run(offset):
-        lut_lsb, luts_rest = luts_for(offset)
-        return sync(fhe_aes.ctr_step_jit(
-            dkeys, rks, enc_iv, lut_lsb, luts_rest))
+        return sync(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, B,
+                                          offset=offset))
 
     t0 = time.time()
     out = run(0)  # warmup (includes compiles)
@@ -125,11 +123,8 @@ def main(argv=None) -> int:
     last_offset = 0
     for i in range(args.repeats):
         last_offset = (i + 1) * B
-        # Host LUT build INSIDE the timing: a deployment pays it per batch.
-        # (It is vectorized numpy, ~0.1 s at 128 blocks — models/luts.py.)
         t0 = time.time()
-        out = sync(fhe_aes.ctr_step_jit(dkeys, rks, enc_iv,
-                                        *luts_for(last_offset)))
+        out = run(last_offset)
         times.append(time.time() - t0)
         print(f"# repeat {i}: {times[-1]:.2f}s", file=sys.stderr)
     t_batch = min(times)

@@ -402,49 +402,58 @@ def add_scalar(keys: DeviceKeys, state, i_bytes: np.ndarray):
                                  jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
 
 
-def ctr_step(keys: DeviceKeys, round_keys, enc_iv, lut_lsb, luts_rest, *,
-             block_chunk: int = 32):
+def ctr_step(keys: DeviceKeys, round_keys, enc_iv, lut_lsb, luts_rest):
     """One fused CTR batch: broadcast IV -> ripple-add counters -> AES.
 
     The whole step (16 ripple WoPBS + 10 AES rounds) is one XLA program;
     jitted as ctr_step_jit this is the unit the bench and the sharded mesh
-    runner dispatch.  Batch size comes from the LUT stacks' leading axis.
-
-    Batches above `block_chunk` blocks run the AES rounds chunked via
-    lax.map (the single-chip HBM ceiling for the round working set is
-    between 32 and 48 blocks — PERF.md "Batch ceiling"); the ripple-carry
-    counter add still runs at the FULL batch, which is where large batches
-    pay off — its 16 sequential small WoPBS are latency-bound and amortize
-    with B.
+    runner dispatch for batches up to 32 blocks.  Batch size comes from the
+    LUT stacks' leading axis.  Larger batches go through ctr_keystream,
+    which splits the AES rounds into separate <=32-block device dispatches
+    (single fused dispatches beyond ~32 blocks fault the attached device —
+    PERF.md "Batch ceiling"); per-stage working sets are additionally
+    bounded by the byte-chunked WoPBS tail (ops/wopbs.many_wopbs).
     """
-    from ..ops.wopbs import _chunk_size
     B = lut_lsb.shape[0]
     state = jnp.broadcast_to(enc_iv[None], (B,) + enc_iv.shape)
     state = add_scalar_device(keys, state, lut_lsb, luts_rest)
-    bc = _chunk_size(B, block_chunk)
-    if bc == B:
-        return aes_encrypt(keys, round_keys, state)
-    chunks = state.reshape((B // bc, bc) + state.shape[1:])
-    out = jax.lax.map(lambda st: aes_encrypt(keys, round_keys, st), chunks)
-    return out.reshape((B,) + out.shape[2:])
+    return aes_encrypt(keys, round_keys, state)
 
 
-ctr_step_jit = jax.jit(ctr_step, static_argnames=("block_chunk",))
+ctr_step_jit = jax.jit(ctr_step)
 aes_encrypt_jit = jax.jit(aes_encrypt)
 aes_decrypt_jit = jax.jit(aes_decrypt)
 
 
 def ctr_keystream(keys: DeviceKeys, round_keys, enc_iv, n_blocks: int,
-                  offset: int = 0):
+                  offset: int = 0, *, block_chunk: int = 32):
     """FHE keystream blocks AES(key, iv + offset + t), t = 0..n_blocks-1.
 
     The CTR batch axis is the framework's data-parallel axis (main.rs:55-64's
     rayon loop, reborn as one device batch / shard_map axis).
+
+    Batches up to `block_chunk` run as the single fused ctr_step program.
+    Larger batches run the ripple-carry counter add ONCE at the full batch
+    (its 16 sequential small WoPBS are latency-bound and amortize with B —
+    the whole point of big batches) and then dispatch the AES rounds in
+    <=block_chunk-block chunks, all reusing ONE compiled aes_encrypt
+    program; a single fused dispatch beyond ~32 blocks faults the attached
+    device (round-4 bisect: add_scalar@64 and aes_encrypt@32 each pass
+    standalone, any one program combining them does not).
     """
     i_bytes = counter_bytes(n_blocks, offset)
     lut_lsb, luts_rest = add_scalar_luts(keys.params, i_bytes)
-    return ctr_step_jit(keys, round_keys, jnp.asarray(enc_iv),
-                        jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
+    if n_blocks <= block_chunk:
+        return ctr_step_jit(keys, round_keys, jnp.asarray(enc_iv),
+                            jnp.asarray(lut_lsb), jnp.asarray(luts_rest))
+    state = jnp.broadcast_to(enc_iv[None], (n_blocks,) + enc_iv.shape)
+    state = add_scalar_device_jit(keys, state, jnp.asarray(lut_lsb),
+                                  jnp.asarray(luts_rest))
+    from ..ops.wopbs import _chunk_size
+    bc = _chunk_size(n_blocks, block_chunk)
+    outs = [aes_encrypt_jit(keys, round_keys, state[i:i + bc])
+            for i in range(0, n_blocks, bc)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def counter_bytes(n_blocks: int, offset: int = 0) -> np.ndarray:
