@@ -23,10 +23,16 @@ BASELINE_BLOCKS_PER_MIN = 60.0 / 84.0  # reference: 84 s/block, 1 CPU core
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=32,
-                    help="CTR blocks per timed batch (32 = measured knee: "
-                         "33.2 blocks/min at 16, 42.8 at 32; 48 and 64 "
-                         "exceed the device limits — both fault at warmup)")
-    ap.add_argument("--params", choices=["prod", "toy"], default="prod")
+                    help="CTR blocks per timed batch (33.2 blocks/min at "
+                         "16, 42.8 at 32, 43.9 at 64; above 32 the AES "
+                         "rounds run as chunked <=32-block dispatches — "
+                         "the single-dispatch device ceiling)")
+    ap.add_argument("--params", choices=["prod", "tpu", "toy"],
+                    default="prod",
+                    help="prod = reference PARAM_OPT; tpu = PARAM_TPU (same "
+                         "security surface, TPU-native base-2^12 BSK "
+                         "decomposition, certified p_fail <= 2^-64 — "
+                         "params.py)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--decrypt", type=int, default=0, metavar="N",
@@ -48,11 +54,12 @@ def main(argv=None) -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
+    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TPU, PARAM_TOY
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.models import fhe_aes
 
-    params = PARAM_OPT if args.params == "prod" else PARAM_TOY
+    params = {"prod": PARAM_OPT, "tpu": PARAM_TPU,
+              "toy": PARAM_TOY}[args.params]
     dev = jax.devices()[0]
     print(f"# device: {dev}, params: {params.name}, blocks: {args.blocks}",
           file=sys.stderr)

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tfhe_aes_tpu.params import PARAM_TOY, PARAM_TOY_N512
+from tfhe_aes_tpu.params import PARAM_TOY, PARAM_TOY_N512, PARAM_TOY_WIDE
 from tfhe_aes_tpu.backend import numpy_backend as nb
 from tfhe_aes_tpu.client.client import Client
 from tfhe_aes_tpu.models import luts, tables
@@ -66,8 +66,9 @@ def test_device_pfpksk_all(ctx):
 
 @pytest.mark.parametrize(
     "params",
-    [PARAM_TOY, pytest.param(PARAM_TOY_N512, marks=pytest.mark.slow)],
-    ids=["N128-tree", "N512-flat"])
+    [PARAM_TOY, PARAM_TOY_WIDE,
+     pytest.param(PARAM_TOY_N512, marks=pytest.mark.slow)],
+    ids=["N128-tree", "N128-wide-digits", "N512-flat"])
 def test_device_many_wopbs_sbox(params):
     """Full byte pipeline: extract -> CBS -> VP of {SBOX, mul2oSBOX} LUTs."""
     client = Client(params, seed=5)

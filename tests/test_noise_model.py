@@ -11,7 +11,7 @@ bar the reference's parameters were optimized for (client.rs:26-30).
 
 import math
 
-from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TOY
+from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TPU, PARAM_TOY
 from tfhe_aes_tpu.utils import noise_model
 
 # NOISE_REPORT.md, round 3 (device, PARAM_OPT):
@@ -44,6 +44,19 @@ def test_pfail_certified_at_param_opt():
     assert b.margin_pbs_input >= 3 * noise_model.PFAIL_SIGMAS
     # Union bound over every analog event in one AES block (2560 PBS-class
     # inputs + 128 decryptions, SURVEY.md 3.2) still clears 2^-64.
+    assert b.log2_pfail_per_bit() + math.log2(2560 + 128) < -64
+
+
+def test_pfail_certified_at_param_tpu():
+    """PARAM_TPU (TPU-native base 2^12 x 3 decomposition) — the coarser
+    base the exact-NTT pipeline affords: identical security surface to
+    PARAM_OPT (same dimensions + noise distributions), p_fail certified by
+    the same conservative model with >= 11.5 sigma margins vs the 9.15
+    required (params.py rationale)."""
+    b = noise_model.budget(PARAM_TPU)
+    assert b.certified
+    assert b.margin_decrypt >= 12.0
+    assert b.margin_pbs_input >= 11.0
     assert b.log2_pfail_per_bit() + math.log2(2560 + 128) < -64
 
 

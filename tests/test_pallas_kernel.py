@@ -91,6 +91,28 @@ def test_pallas_matches_xla_q40(ctx_l5):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_pallas_matches_xla_wide_digits():
+    """The WIDE (pbs_base_log > 8, two-int8-limb digit) kernel path that
+    PARAM_TPU uses — digits feed the [2N, 2N] block forward-NTT matrix and
+    the recombine takes the extra hi-plane barrett."""
+    from tfhe_aes_tpu.params import PARAM_TOY_WIDE
+    client = Client(PARAM_TOY_WIDE, seed=17)
+    dkeys = client.make_device_keys()
+    p = client.params
+    bits, small, test = _inputs(client, 3)
+
+    want = jax.jit(blind_rotate.blind_rotate, static_argnums=(0, 1))(
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.rfwd_limbs), jnp.asarray(dkeys.fwd_full),
+        jnp.asarray(dkeys.rinv_crt_limbs), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table))
+    got = pallas_blind_rotate.blind_rotate_pallas(
+        dkeys.rplan, p, jnp.asarray(dkeys.bsk_limbs), small, test,
+        jnp.asarray(dkeys.fwd_full), jnp.asarray(dkeys.inv_crt_full),
+        jnp.asarray(dkeys.rot_table), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pallas_cache_survives_retrace(ctx, monkeypatch):
     """Regression: round 1's bench-killer (VERDICT.md, What's weak #1).
 

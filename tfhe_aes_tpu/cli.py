@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from .params import PARAM_OPT, PARAM_TOY
+from .params import PARAM_OPT, PARAM_TPU, PARAM_TOY
 from .client.client import Client
 from .models import aes_plain, fhe_aes
 from .server import Server
@@ -95,7 +95,12 @@ def main(argv=None) -> int:
                          "round-trips, main.rs:76-142) and exit")
     ap.add_argument("--test-random", type=int, default=10,
                     help="number of random cases for --test")
-    ap.add_argument("--params", choices=["prod", "toy"], default="prod")
+    ap.add_argument("--params", choices=["prod", "tpu", "toy"],
+                    default="prod",
+                    help="prod = reference PARAM_OPT; tpu = PARAM_TPU (same "
+                         "security surface, TPU-native base-2^12 BSK "
+                         "decomposition, certified p_fail <= 2^-64 — "
+                         "params.py)")
     ap.add_argument("--seed", type=int, default=None,
                     help="client RNG seed (default: OS entropy)")
     ap.add_argument("--no-verify", action="store_true")
@@ -125,7 +130,8 @@ def main(argv=None) -> int:
     elif args.platform == "tpu":
         jax.config.update("jax_platforms", "axon,tpu")
 
-    params = PARAM_OPT if args.params == "prod" else PARAM_TOY
+    params = {"prod": PARAM_OPT, "tpu": PARAM_TPU,
+              "toy": PARAM_TOY}[args.params]
 
     if args.test:
         run_test_harness(params, args.test_random, seed=args.seed)

@@ -139,7 +139,11 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
 
     def body(i, acc):
         digits = decompose.glwe_digits_flat(acc, base_log, levels, q)
-        dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8), fwd_limbs)
+        if base_log <= 8:
+            dhat = ntt.ntt_fwd_digits(plan, digits.astype(jnp.int8),
+                                      fwd_limbs)
+        else:   # wide digits (e.g. PARAM_TPU's 12-bit base): 2-limb NTT
+            dhat = ntt.ntt_fwd_wide(plan, digits, fwd_limbs)
         dl, dh = modular.to_balanced_limbs2(dhat)    # [P, B, R, N] int8
         g = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
                                          keepdims=False)   # [P, R*2J, N]

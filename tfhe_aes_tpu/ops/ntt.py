@@ -345,6 +345,30 @@ def fwd_full_host(plan: NttPlan) -> np.ndarray:
                                                axis=2))
 
 
+def fwd_full_for(plan: NttPlan, pbs_base_log: int) -> np.ndarray:
+    """The fused kernel's forward digit-NTT operand for a given base:
+    [P, N, 2N] single-limb matrices for int8 digits, [P, 2N, 2N] block
+    matrices for wide (pbs_base_log > 8) digits."""
+    return fwd_full_wide_host(plan) if pbs_base_log > 8 else \
+        fwd_full_host(plan)
+
+
+@functools.lru_cache(maxsize=None)
+def fwd_full_wide_host(plan: NttPlan) -> np.ndarray:
+    """Block forward-NTT matrices [P, 2N, 2N] int8 for WIDE gadget digits.
+
+    Same x @ M orientation as inv_crt_full_host: row blocks = the two input
+    8-bit limbs of a digit (the 2^8 scale of the hi limb folded into the
+    matrix), column blocks = output 8-bit limbs of the balanced residues.
+    Used when pbs_base_log > 8 (e.g. PARAM_TPU's 12-bit digits), whose
+    digits do not fit one int8 MXU operand.
+    """
+    m = plan.fwd_limbs
+    top = np.concatenate([m[:, 0, 0], m[:, 0, 1]], axis=2)   # [P, N, 2N]
+    bot = np.concatenate([m[:, 1, 0], m[:, 1, 1]], axis=2)
+    return np.ascontiguousarray(np.concatenate([top, bot], axis=1))
+
+
 def mac_rows(plan: NttPlan, dl: jnp.ndarray, dh: jnp.ndarray,
              g_rows: jnp.ndarray, j_out: int) -> jnp.ndarray:
     """NTT-domain external-product MAC against row-major key limbs.

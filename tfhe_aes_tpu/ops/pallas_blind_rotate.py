@@ -68,7 +68,12 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     shift = q - blog * lev
     assert 32 < q <= 48 and 0 <= shift < 32, (
         "kernel runs the mod-2^48 rotate domain (ops/keys.make_rotate_plan)")
-    assert blog <= 8
+    # wide: digits beyond int8 (e.g. PARAM_TPU's 12-bit base) feed the
+    # forward NTT as TWO int8 limbs against the [2N, 2N] block matrix
+    # (ntt.fwd_full_wide_host); blog <= 15 keeps the hi limb <= 64.
+    assert blog <= 15
+    wide = blog > 8
+    dn = 2 * n if wide else n
     # Junk safety: the hi accumulator plane carries CRT-carry junk above
     # bit q-32; after the shift prologue it sits at vhi bit blog*lev - 32,
     # and digit reads touch only vbar bits < blog*lev — never the junk.
@@ -130,7 +135,13 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                     carry = jnp.where(t >= _u32c(half_b), _u32c(1), _u32c(0))
                     d = t.astype(I32) - (carry.astype(I32)
                                          << jnp.int32(blog))
-                    digits[u * lev + l] = d.astype(jnp.int8)
+                    if wide:
+                        h8 = (d + jnp.int32(128)) >> jnp.int32(8)
+                        digits[u * lev + l, :, :n] = \
+                            (d - (h8 << jnp.int32(8))).astype(jnp.int8)
+                        digits[u * lev + l, :, n:] = h8.astype(jnp.int8)
+                    else:
+                        digits[u * lev + l] = d.astype(jnp.int8)
 
             acc64_hi[...] = jnp.zeros_like(acc64_hi)
             acc64_lo[...] = jnp.zeros_like(acc64_lo)
@@ -160,16 +171,26 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         # bottleneck, and the f32<->i32 converts + partial flushes cost
         # more than they save — see PERF.md round-3 refutations.)
         for u in range(kp1):
-            block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, n)
+            block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, dn)
             out = jax.lax.dot_general(
                 block, wf_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)                  # [lev*TB, 2N]
-            # |lo + 256*hi| <= N*128*128 + 256*N*128*128 < 2^31 and the f32
-            # quotient of a 2^31-magnitude t is within +-1 (abs f32 rounding
-            # ~2^7 at 2^31; error on t*inv_p ~ 2^7/p + 2^-11 << 1/2), so the
-            # unclamped remainder satisfies |dr| <= 1.5p (MAC bound above).
-            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
-                        clamp=False)
+            if not wide:
+                # |lo + 256*hi| <= N*128*128 + 256*N*128*128 < 2^31 and the
+                # f32 quotient of a 2^31-magnitude t is within +-1 (abs f32
+                # rounding ~2^7 at 2^31; error on t*inv_p ~ 2^7/p + 2^-11
+                # << 1/2), so the unclamped remainder satisfies
+                # |dr| <= 1.5p (MAC bound above).
+                t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
+                            clamp=False)
+            else:
+                # Wide digits contract over 2N rows: |out plane| <=
+                # N*128*(128+64) < 2^23.6, so lo + 256*hi would reach
+                # 2^31.6 — reduce the hi plane first: |r_hi| <= 1.5p ->
+                # lo + 256*r_hi <= 2^23.6 + 2^24.6 < 2^25.2, one more
+                # unclamped barrett -> |dr| <= 1.5p.
+                r_h = barrett(out[:, n:], clamp=False)
+                t = barrett(out[:, :n] + (r_h << jnp.int32(8)), clamp=False)
             dh = t.reshape(lev, tb, n)
             for l in range(lev):
                 r = u * lev + l
@@ -345,6 +366,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
     pcount = plan.n_primes
     nbytes = (plan.q_bits + 7) // 8
     n_tiles = n_batch // tb
+    dn = 2 * n if params.pbs_base_log > 8 else n   # wide-digit limb planes
     kern = _kernel(params, plan, tb)
 
     grid = (n_tiles, pcount)
@@ -372,7 +394,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
             # ~7.7 MB of NTT matrices stream from HBM once per kernel call
             # instead of 1.5 MB per grid cell (~120 MB/step at batch 2048).
             # The kernel indexes the prime's slice with the k program id.
-            pl.BlockSpec((pcount, n, 2 * n), lambda t, k: _i(0, 0, 0),
+            pl.BlockSpec((pcount, dn, 2 * n), lambda t, k: _i(0, 0, 0),
                          memory_space=pltpu.VMEM),            # fwd_full
             pl.BlockSpec((pcount, 2 * n, 2 * n), lambda t, k: _i(0, 0, 0),
                          memory_space=pltpu.VMEM),            # inv_crt_full
@@ -383,7 +405,7 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         ],
         out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
-            pltpu.VMEM((r_rows, tb, n), jnp.int8),            # digits
+            pltpu.VMEM((r_rows, tb, dn), jnp.int8),           # digits
             pltpu.VMEM((kp1, tb, n), I32),                    # s_lo
             pltpu.VMEM((kp1, tb, n), I32),                    # s_hi
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 hi

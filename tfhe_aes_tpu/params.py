@@ -96,6 +96,36 @@ PARAM_OPT = ParamSet(
     cbs_level=1,
 )
 
+# TPU-native production parameters: identical SECURITY surface to PARAM_OPT
+# (same dimensions and noise distributions -> same 128-bit hardness; those
+# are what security depends on) but a coarser bootstrap-key decomposition:
+# base 2^12 x 3 levels instead of the reference's 2^8 x 5.  The reference's
+# optimizer budgeted for tfhe-fft f64 rounding noise the exact RNS-NTT
+# pipeline does not have, which buys decomposition headroom: the analytic
+# model (utils/noise_model.py, conservative by ~0.9 bits vs measurement)
+# certifies p_fail <= 2^-64 with 12.1/11.5 sigma margins vs the required
+# 9.15 (tests/test_noise_model.py pins this).  Why it is faster: the GGSW
+# row count (k+1)*pbs_level drops 25 -> 15, which is -40% on the blind-
+# rotate MAC — the dominant VPU cost of the whole cipher (PERF.md) — and
+# -40% bootstrap-key bytes.  Digits are 12-bit, so the fused kernel feeds
+# the forward NTT as two int8 limbs (pallas_blind_rotate 'wide' path).
+PARAM_TPU = ParamSet(
+    name="PARAM_TPU",
+    lwe_dimension=669,
+    glwe_dimension=4,
+    polynomial_size=512,
+    lwe_noise_std=3.0517578125e-05,
+    glwe_noise_std=3.162026630747649e-16,
+    pbs_base_log=12,
+    pbs_level=3,
+    ks_base_log=2,
+    ks_level=6,
+    pfks_base_log=12,
+    pfks_level=3,
+    cbs_base_log=15,
+    cbs_level=1,
+)
+
 # Toy parameters: fast, zero security, generous noise margins.  Used by the
 # unit-test suite so the full WoPBS/AES pipeline runs in seconds on CPU.
 PARAM_TOY = ParamSet(
@@ -107,6 +137,25 @@ PARAM_TOY = ParamSet(
     glwe_noise_std=2.0 ** -40,
     pbs_base_log=8,
     pbs_level=4,
+    ks_base_log=4,
+    ks_level=4,
+    pfks_base_log=12,
+    pfks_level=3,
+    cbs_base_log=10,
+    cbs_level=2,
+)
+
+# Toy set exercising the WIDE (pbs_base_log > 8, two-int8-limb digit) blind-
+# rotate path that PARAM_TPU uses in production.
+PARAM_TOY_WIDE = ParamSet(
+    name="PARAM_TOY_WIDE",
+    lwe_dimension=32,
+    glwe_dimension=2,
+    polynomial_size=128,
+    lwe_noise_std=2.0 ** -25,
+    glwe_noise_std=2.0 ** -40,
+    pbs_base_log=12,
+    pbs_level=3,
     ks_base_log=4,
     ks_level=4,
     pfks_base_log=12,

@@ -14,13 +14,15 @@ import pathlib
 
 import numpy as np
 
-from ..params import ParamSet, PARAM_OPT, PARAM_TOY, PARAM_TOY_N512
+from ..params import (ParamSet, PARAM_OPT, PARAM_TPU, PARAM_TOY,
+                      PARAM_TOY_WIDE, PARAM_TOY_N512)
 from ..backend.numpy_backend import SecretKeys
 from ..ops import ntt
 from ..ops.keys import DeviceKeys
 from ..utils import crt
 
-_PARAM_SETS = {p.name: p for p in (PARAM_OPT, PARAM_TOY, PARAM_TOY_N512)}
+_PARAM_SETS = {p.name: p for p in (PARAM_OPT, PARAM_TPU, PARAM_TOY,
+                                    PARAM_TOY_WIDE, PARAM_TOY_N512)}
 
 
 def default_cache_dir() -> pathlib.Path:
@@ -106,7 +108,7 @@ def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
         inv_crt_limbs=plan.inv_crt_limbs,
         rfwd_limbs=rplan.fwd_limbs,
         rinv_crt_limbs=rplan.inv_crt_limbs,
-        fwd_full=ntt.fwd_full_host(rplan),
+        fwd_full=ntt.fwd_full_for(rplan, params.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
         rot_table=rplan.rot_table,
     )
