@@ -60,6 +60,8 @@ def make_ablated_kernel(ablate: set):
         nbytes = (q + 7) // 8
         shift = q - blog * lev
         half_b = 1 << (blog - 1)
+        wide = blog > 8
+        dn = 2 * n if wide else n
 
         def kernel(consts_ref, m64b_ref, invp_ref,
                    acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
@@ -113,7 +115,13 @@ def make_ablated_kernel(ablate: set):
                                               _u32c(0))
                             d = t.astype(I32) - (carry.astype(I32)
                                                  << jnp.int32(blog))
-                            digits[u * lev + l] = d.astype(jnp.int8)
+                            if wide:
+                                h6 = (d + jnp.int32(32)) >> jnp.int32(6)
+                                digits[u * lev + l, :, :n] = \
+                                    (d - (h6 << jnp.int32(6))).astype(jnp.int8)
+                                digits[u * lev + l, :, n:] = h6.astype(jnp.int8)
+                            else:
+                                digits[u * lev + l] = d.astype(jnp.int8)
                 acc64_hi[...] = jnp.zeros_like(acc64_hi)
                 acc64_lo[...] = jnp.zeros_like(acc64_lo)
                 alpha[...] = jnp.zeros_like(alpha)
@@ -125,7 +133,7 @@ def make_ablated_kernel(ablate: set):
             for u in range(kp1):
                 if "fwd" not in ablate:
                     block = digits[u * lev:(u + 1) * lev].reshape(
-                        lev * tb, n)
+                        lev * tb, dn)
                     out = jax.lax.dot_general(
                         block, wf_ref[k], (((1,), (0,)), ((), ())),
                         preferred_element_type=I32)
@@ -133,7 +141,7 @@ def make_ablated_kernel(ablate: set):
                                 clamp=False)
                     dh = t.reshape(lev, tb, n)
                 else:
-                    dh = digits[u * lev:(u + 1) * lev].astype(I32)
+                    dh = digits[u * lev:(u + 1) * lev, :, :n].astype(I32)
                 if "mac" in ablate:
                     continue
                 for l in range(lev):
@@ -156,8 +164,10 @@ def make_ablated_kernel(ablate: set):
                 if "twiddle" in ablate:
                     return jnp.zeros((tb, 2 * n), jnp.int8)
                 r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
-                prod = barrett(s_lo[j] + r_hi)
-                delta = barrett(tw1 * prod)
+                u_ = s_lo[j] + r_hi
+                qf = jnp.round((tw1.astype(jnp.float32)
+                                * u_.astype(jnp.float32)) * inv_p).astype(I32)
+                delta = barrett(tw1 * u_ - qf * p)
                 h8 = (delta + jnp.int32(128)) >> jnp.int32(8)
                 l8 = delta - (h8 << jnp.int32(8))
                 return jnp.concatenate([l8, h8], axis=1).astype(jnp.int8)
@@ -242,19 +252,21 @@ def make_ablated_kernel(ablate: set):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    tbs = [int(t) for t in sys.argv[2:]] or [256]
-    from tfhe_aes_tpu.params import PARAM_OPT
+    args = sys.argv[2:]
+    params_name = "tpu" if "tpu" in args else "prod"
+    tbs = [int(t) for t in args if t.isdigit()] or [256]
+    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TPU
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.utils import serialization
     from tfhe_aes_tpu.backend import numpy_backend as nb
     from tfhe_aes_tpu.ops import pallas_blind_rotate as pbr
 
-    cache = serialization.cache_path(PARAM_OPT, 0)
+    p = PARAM_TPU if params_name == "tpu" else PARAM_OPT
+    cache = serialization.cache_path(p, 0)
     sk, dkeys = serialization.load_keys(cache)
-    client = Client(PARAM_OPT, seed=0)
+    client = Client(p, seed=0)
     client.sk = sk
     dkeys = jax.device_put(dkeys)
-    p = PARAM_OPT
 
     rng = np.random.default_rng(5)
     bits = rng.integers(0, 2, batch).astype(np.uint64)

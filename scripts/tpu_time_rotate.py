@@ -1,8 +1,8 @@
-"""Minimal timing of the fused Pallas blind rotate at PARAM_OPT.
+"""Minimal timing of the fused Pallas blind rotate at production params.
 
-Usage: python scripts/tpu_time_rotate.py [batch [tb]]
+Usage: python scripts/tpu_time_rotate.py [batch [tb [prod|tpu]]]
 Prints full-rotate wall time (honest fence) and checks bit-exactness vs
-the XLA reference path on a small slice.
+the XLA reference path on a strided slice.
 """
 from __future__ import annotations
 
@@ -22,15 +22,16 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     if len(sys.argv) > 2:
         os.environ["TFHE_AES_TPU_PALLAS_TB"] = sys.argv[2]
-    from tfhe_aes_tpu.params import PARAM_OPT
+    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TPU
     from tfhe_aes_tpu.utils import serialization, profiling
     from tfhe_aes_tpu.backend import numpy_backend as nb
     from tfhe_aes_tpu.ops import pallas_blind_rotate as pbr
 
-    cache = serialization.cache_path(PARAM_OPT, 0)
+    p = PARAM_TPU if (len(sys.argv) > 3 and sys.argv[3] == "tpu") \
+        else PARAM_OPT
+    cache = serialization.cache_path(p, 0)
     sk, dkeys = serialization.load_keys(cache)
     dkeys = jax.device_put(dkeys)
-    p = PARAM_OPT
 
     rng = np.random.default_rng(5)
     bits = rng.integers(0, 2, batch).astype(np.uint64)

@@ -358,15 +358,27 @@ def fwd_full_wide_host(plan: NttPlan) -> np.ndarray:
     """Block forward-NTT matrices [P, 2N, 2N] int8 for WIDE gadget digits.
 
     Same x @ M orientation as inv_crt_full_host: row blocks = the two input
-    8-bit limbs of a digit (the 2^8 scale of the hi limb folded into the
-    matrix), column blocks = output 8-bit limbs of the balanced residues.
-    Used when pbs_base_log > 8 (e.g. PARAM_TPU's 12-bit digits), whose
-    digits do not fit one int8 MXU operand.
+    limbs of a digit in base 2^6 (|limb| <= 32; the 2^6 scale of the hi
+    limb is folded into the matrix), column blocks = output 8-bit limbs of
+    the balanced residues.  Used when pbs_base_log > 8 (e.g. PARAM_TPU's
+    12-bit digits), whose digits do not fit one int8 MXU operand.
+
+    Why base 2^6 inputs (not 2^8): the dot contracts 2N rows, so with
+    |limb| <= 32 each raw output plane stays <= 2N*32*128 = 2^22 and
+    lo + 256*hi <= 2^30.1 — int32-safe with the SAME single-barrett
+    recombine as the narrow path (8-bit input limbs would reach 2^31.6).
     """
-    m = plan.fwd_limbs
-    top = np.concatenate([m[:, 0, 0], m[:, 0, 1]], axis=2)   # [P, N, 2N]
-    bot = np.concatenate([m[:, 1, 0], m[:, 1, 1]], axis=2)
-    return np.ascontiguousarray(np.concatenate([top, bot], axis=1))
+    from . import modular
+    outs = []
+    for k, p in enumerate(plan.primes):
+        fwd, _ = crt.ntt_matrices(p, plan.n)
+        rows = []
+        for scale in (1, 64):
+            bal = modular.host_balanced((fwd * scale) % p, p)
+            lo, hi = np.moveaxis(modular.host_balanced_limbs2(bal), -1, 0)
+            rows.append(np.concatenate([lo, hi], axis=1))    # [N, 2N]
+        outs.append(np.concatenate(rows, axis=0))            # [2N, 2N]
+    return np.ascontiguousarray(np.stack(outs))
 
 
 def mac_rows(plan: NttPlan, dl: jnp.ndarray, dh: jnp.ndarray,

@@ -69,9 +69,10 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     assert 32 < q <= 48 and 0 <= shift < 32, (
         "kernel runs the mod-2^48 rotate domain (ops/keys.make_rotate_plan)")
     # wide: digits beyond int8 (e.g. PARAM_TPU's 12-bit base) feed the
-    # forward NTT as TWO int8 limbs against the [2N, 2N] block matrix
-    # (ntt.fwd_full_wide_host); blog <= 15 keeps the hi limb <= 64.
-    assert blog <= 15
+    # forward NTT as TWO base-2^6 limbs against the [2N, 2N] block matrix
+    # (ntt.fwd_full_wide_host); blog <= 12 keeps |limb| <= 32 and the
+    # single-barrett recombine bound.
+    assert blog <= 12
     wide = blog > 8
     dn = 2 * n if wide else n
     # Junk safety: the hi accumulator plane carries CRT-carry junk above
@@ -82,8 +83,7 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
     def kernel(consts_ref, m64b_ref, invp_ref,
                acc_hi_ref, acc_lo_ref, wf_ref, inv_ref, g_ref, tw_ref,
                out_hi_ref, out_lo_ref,
-               digits, s_lo, s_hi, acc64_hi,
-               acc64_lo, alpha):
+               digits, acc64_hi, acc64_lo, alpha):
         k = pl.program_id(1)
         p = consts_ref[k, 0]
         fp24 = consts_ref[k, 1]
@@ -136,10 +136,15 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
                     d = t.astype(I32) - (carry.astype(I32)
                                          << jnp.int32(blog))
                     if wide:
-                        h8 = (d + jnp.int32(128)) >> jnp.int32(8)
+                        # base-2^6 limbs (|limb| <= 32): matched to the
+                        # fwd_full_wide matrix's folded 64x row block, so
+                        # the dot's 2N-row contraction keeps the SAME
+                        # single-barrett recombine bound as the narrow
+                        # path (ntt.fwd_full_wide_host).
+                        h6 = (d + jnp.int32(32)) >> jnp.int32(6)
                         digits[u * lev + l, :, :n] = \
-                            (d - (h8 << jnp.int32(8))).astype(jnp.int8)
-                        digits[u * lev + l, :, n:] = h8.astype(jnp.int8)
+                            (d - (h6 << jnp.int32(6))).astype(jnp.int8)
+                        digits[u * lev + l, :, n:] = h6.astype(jnp.int8)
                     else:
                         digits[u * lev + l] = d.astype(jnp.int8)
 
@@ -155,51 +160,37 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         # scratch round-trip the staged formulation paid.
         #
         # MAC bounds: dhat is UNCLAMPED balanced |.| <= 1.5p < 2^16.6 (one
-        # barrett, no correction selects — saves 2 selects on each of the
-        # R=25 recombine rows), the key side pre-split into 8-bit limbs:
-        # |dhat*g_lo| <= 1.5p*128 < 2^23.6, 25-term sums < 2^28.3 —
-        # int32-safe with a single multiply per (row, limb).
-        s_lo[...] = jnp.zeros_like(s_lo)
-        s_hi[...] = jnp.zeros_like(s_hi)
-
-        # Static unroll over the R gadget rows: Mosaic needs provably
-        # 8-aligned sublane offsets, which constant indices satisfy.
-        # (Per-j [TB, N] ops: a broadcast [J, TB, N] formulation measured
-        # ~1.3x SLOWER on a v5e — Mosaic tiles the smaller shapes better.
-        # An f32-FMA MAC with 4-row exact partial sums measured 16% slower
-        # than the i32 multiplies below: v5e i32 vector multiply is not the
-        # bottleneck, and the f32<->i32 converts + partial flushes cost
-        # more than they save — see PERF.md round-3 refutations.)
+        # barrett, no correction selects), the key side pre-split into
+        # 8-bit limbs: |dhat*g_lo| <= 1.5p*128 < 2^23.6, 25-term sums
+        # < 2^28.3 — int32-safe with a single multiply per (row, limb).
+        #
+        # The MAC itself runs inside chain(j) below as ONE SSA expression
+        # sum over the R rows (s = sum_r dh_rows[r]*g_rj), NOT as scratch
+        # `s[j] += ...` updates: the scratch formulation forces a VMEM
+        # read-modify-write of a [TB, N] accumulator per (row, j, limb) —
+        # measured to dominate the stage so thoroughly that cutting R from
+        # 25 to 15 (PARAM_TPU) barely moved it.  As an expression tree,
+        # Mosaic accumulates per register tile and the only VMEM traffic
+        # is streaming each dh row once per j.
+        dh_rows = []
         for u in range(kp1):
             block = digits[u * lev:(u + 1) * lev].reshape(lev * tb, dn)
             out = jax.lax.dot_general(
                 block, wf_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)                  # [lev*TB, 2N]
-            if not wide:
-                # |lo + 256*hi| <= N*128*128 + 256*N*128*128 < 2^31 and the
-                # f32 quotient of a 2^31-magnitude t is within +-1 (abs f32
-                # rounding ~2^7 at 2^31; error on t*inv_p ~ 2^7/p + 2^-11
-                # << 1/2), so the unclamped remainder satisfies
-                # |dr| <= 1.5p (MAC bound above).
-                t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
-                            clamp=False)
-            else:
-                # Wide digits contract over 2N rows: |out plane| <=
-                # N*128*(128+64) < 2^23.6, so lo + 256*hi would reach
-                # 2^31.6 — reduce the hi plane first: |r_hi| <= 1.5p ->
-                # lo + 256*r_hi <= 2^23.6 + 2^24.6 < 2^25.2, one more
-                # unclamped barrett -> |dr| <= 1.5p.
-                r_h = barrett(out[:, n:], clamp=False)
-                t = barrett(out[:, :n] + (r_h << jnp.int32(8)), clamp=False)
+            # Recombine bound, both paths: narrow |lo + 256*hi| <=
+            # N*128*128*(1 + 256) < 2^31; wide contracts 2N rows of
+            # base-2^6 limbs (|limb| <= 32): planes <= 2N*32*128 = 2^22,
+            # lo + 256*hi <= 2^30.1 — int32-safe either way, and the f32
+            # quotient of a 2^31-magnitude t is within +-1 (abs f32
+            # rounding ~2^7 at 2^31; error on t*inv_p ~ 2^7/p + 2^-11
+            # << 1/2), so the unclamped remainder satisfies |dr| <= 1.5p
+            # (MAC bound above).
+            t = barrett(out[:, :n] + (out[:, n:] << jnp.int32(8)),
+                        clamp=False)
             dh = t.reshape(lev, tb, n)
             for l in range(lev):
-                r = u * lev + l
-                dr = dh[l]                                   # [TB, N]
-                for j in range(kp1):
-                    glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
-                    ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
-                    s_lo[j] += dr * glo
-                    s_hi[j] += dr * ghi
+                dh_rows.append(dh[l])                        # [TB, N] each
 
         # -- per-j: recombine, twiddle-rotate, INTT dot, CRT accumulate -----
         # Emitted per output component j so Mosaic can hide the [TB, 2N] @
@@ -235,6 +226,16 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
         tw1 = tw_ref[0].astype(I32) - jnp.int32(1)           # [TB, N]
 
         def chain(j):
+            # The external-product MAC for output component j, as one SSA
+            # expression sum (see the dh_rows comment above).
+            s_lo = s_hi = None
+            for r in range(r_rows):
+                glo = g_ref[0, r * 2 * kp1 + j].astype(I32)[None, :]
+                ghi = g_ref[0, r * 2 * kp1 + kp1 + j].astype(I32)[None, :]
+                plo = dh_rows[r] * glo
+                phi = dh_rows[r] * ghi
+                s_lo = plo if s_lo is None else s_lo + plo
+                s_hi = phi if s_hi is None else s_hi + phi
             # Wrap-Barrett: ONE reduction for recombine+twiddle instead of
             # three.  u = s_lo + 256*r_hi <= 2^28.4 stays UNREDUCED; the
             # quotient of tw1*u (true magnitude <= 2^43.4) is estimated in
@@ -246,8 +247,8 @@ def _kernel(params: ParamSet, plan: ntt.NttPlan, tb: int):
             # 2^32; the true remainder <= 24.5p < 2^21 fits), so one final
             # clamped barrett yields the same canonical delta as the exact
             # 3-barrett chain (bit-identical; checked vs the XLA path).
-            r_hi = barrett(s_hi[j], clamp=False) * jnp.int32(256)
-            u = s_lo[j] + r_hi                               # <= 2^28.4
+            r_hi = barrett(s_hi, clamp=False) * jnp.int32(256)
+            u = s_lo + r_hi                                  # <= 2^28.4
             qf = jnp.round((tw1.astype(jnp.float32)
                             * u.astype(jnp.float32)) * inv_p).astype(I32)
             delta = barrett(tw1 * u - qf * p)
@@ -406,8 +407,6 @@ def _build_call(params: ParamSet, plan: ntt.NttPlan, n_batch: int,
         out_specs=[acc_spec, acc_spec],
         scratch_shapes=[
             pltpu.VMEM((r_rows, tb, dn), jnp.int8),           # digits
-            pltpu.VMEM((kp1, tb, n), I32),                    # s_lo
-            pltpu.VMEM((kp1, tb, n), I32),                    # s_hi
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 hi
             pltpu.VMEM((kp1 * tb, n), jnp.uint32),            # acc64 lo
             pltpu.VMEM((kp1 * tb, n), I32),                   # alpha
