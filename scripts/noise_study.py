@@ -53,15 +53,18 @@ def main() -> int:
     # golden CMux costs ~2 min/bootstrap on this host.
     n_classic = int(os.environ.get("NOISE_STUDY_CLASSIC", "8"))
 
-    from tfhe_aes_tpu.params import PARAM_OPT
+    from tfhe_aes_tpu.params import PARAM_OPT, PARAM_TPU
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.utils import serialization
     from tfhe_aes_tpu.backend import numpy_backend as nb
     from tfhe_aes_tpu.models import luts
     from tfhe_aes_tpu.ops import cbs, wopbs, lwe as lwe_mod
 
-    p = PARAM_OPT
-    cache = serialization.cache_path(PARAM_OPT, 0)
+    tpu_params = "tpu" in sys.argv[1:]
+    p = PARAM_TPU if tpu_params else PARAM_OPT
+    if tpu_params:
+        n_classic = 0          # classic-baseline delta is a PARAM_OPT study
+    cache = serialization.cache_path(p, 0)
     sk, dkeys = serialization.load_keys(cache)
     client = Client(p, seed=0)
     client.sk = sk
@@ -69,7 +72,7 @@ def main() -> int:
     rng = np.random.default_rng(123)
     U64 = np.uint64
 
-    lines = ["# Measured noise at PARAM_OPT (128-bit, p_fail ~ 2^-64)", "",
+    lines = [f"# Measured noise at {p.name} (128-bit, p_fail ~ 2^-64)", "",
              f"Device: {jax.devices()[0]}", "",
              "| stage | samples | sigma (log2) | max err (log2) | "
              "budget sigma (log2) | margin |", "|---|---|---|---|---|---|"]
@@ -120,6 +123,31 @@ def main() -> int:
     # Every accumulator coefficient is a phase-error sample: the expected
     # accumulator is X^(sum a~_i s_i - b~) * test, computable from sk.
     t0 = time.time()
+    if n_classic == 0:
+        # PARAM_TPU mode: measured device sigmas only, checked against the
+        # analytic model (utils/noise_model) instead of a golden re-baseline.
+        from tfhe_aes_tpu.utils import noise_model
+        b = noise_model.budget(p)
+        lines += [
+            "",
+            f"Analytic model (utils/noise_model, conservative): "
+            f"sigma_pbs 2^{b.sigma_pbs:.2f}, sigma_wopbs(8-step) "
+            f"2^{noise_model.budget(p, vp_steps=8).sigma_wopbs:.2f}; "
+            f"measured must sit at or below these.",
+            "",
+            f"Decryption threshold: 2^62; measured fresh-WoPBS margin "
+            f"{THRESHOLD / wopbs_sig:.1f} sigma "
+            f"({THRESHOLD / wopbs_sig / (SIGMA_FACTOR * math.sqrt(MAX_LEVEL)):.1f}x "
+            f"over the level-{MAX_LEVEL} p_fail budget).",
+        ]
+        ok &= np.log2(pbs_sig) <= b.sigma_pbs
+        ok &= np.log2(wopbs_sig) <= noise_model.budget(p, vp_steps=8).sigma_wopbs
+        report = "\n".join(lines) + "\n"
+        with open(os.path.join(REPO, "NOISE_REPORT_TPU.md"), "w") as f:
+            f.write(report)
+        print(report)
+        print(f"# budget check: {'PASS' if ok else 'FAIL'}", flush=True)
+        return 0 if ok else 1
     bits_c = rng.integers(0, 2, n_classic).astype(U64)
     small_c = nb.lwe_encrypt(sk.lwe_key, bits_c << U64(63), p.lwe_noise_std,
                              rng)

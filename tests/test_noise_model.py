@@ -17,6 +17,9 @@ from tfhe_aes_tpu.utils import noise_model
 # NOISE_REPORT.md, round 3 (device, PARAM_OPT):
 MEASURED_SIGMA_PBS_LOG2 = 32.09      # boolean PBS (twiddle kernel)
 MEASURED_SIGMA_WOPBS_LOG2 = 53.25    # fresh many-LUT WoPBS output
+# NOISE_REPORT_TPU.md, round 4 (device, PARAM_TPU):
+MEASURED_TPU_SIGMA_PBS_LOG2 = 36.06
+MEASURED_TPU_SIGMA_WOPBS_LOG2 = 55.63
 
 
 def test_model_brackets_measured_pbs():
@@ -45,6 +48,15 @@ def test_pfail_certified_at_param_opt():
     # Union bound over every analog event in one AES block (2560 PBS-class
     # inputs + 128 decryptions, SURVEY.md 3.2) still clears 2^-64.
     assert b.log2_pfail_per_bit() + math.log2(2560 + 128) < -64
+
+
+def test_model_brackets_measured_param_tpu():
+    b = noise_model.budget(PARAM_TPU)
+    assert b.sigma_pbs >= MEASURED_TPU_SIGMA_PBS_LOG2
+    assert b.sigma_pbs <= MEASURED_TPU_SIGMA_PBS_LOG2 + 1.5
+    b8 = noise_model.budget(PARAM_TPU, vp_steps=8)
+    assert b8.sigma_wopbs >= MEASURED_TPU_SIGMA_WOPBS_LOG2
+    assert b8.sigma_wopbs <= MEASURED_TPU_SIGMA_WOPBS_LOG2 + 2.0
 
 
 def test_pfail_certified_at_param_tpu():

@@ -56,6 +56,8 @@ class DeviceKeys:
     rfwd_limbs: jax.Array | np.ndarray    # int8  [Pr, 2, 2, N, N]  (rotate)
     rinv_crt_limbs: jax.Array | np.ndarray# int8  [Pr, 2, 2, N, N]  (rotate)
     fwd_full: jax.Array | np.ndarray      # int8  [Pr, N, 2N] digit-NTT mats
+                                          #       ([Pr, 2N, 2N] for wide
+                                          #       digits, pbs_base_log > 8)
     inv_crt_full: jax.Array | np.ndarray  # int8  [Pr, 2N, 2N] block INTT mats
     rot_table: jax.Array | np.ndarray     # int32 [Pr, 2N, N] twiddle powers
 
