@@ -43,6 +43,11 @@ def main(argv=None) -> int:
                          "params.py)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--device-verify", action="store_true",
+                    help="measurement-only shortcut: decrypt on-device "
+                         "(ships the secret key to the accelerator).  The "
+                         "default verifies on the CLIENT via chunked D2H — "
+                         "the trust boundary the Server facade models")
     ap.add_argument("--decrypt", type=int, default=0, metavar="N",
                     help="also time homomorphic AES decryption of N blocks "
                          "of the produced keystream (reference: ~2x encrypt "
@@ -161,11 +166,19 @@ def main(argv=None) -> int:
     sys.stdout.flush()
 
     if not args.skip_verify:
-        # Decrypt on-device and pull only the plaintext bits off the chip:
-        # the ciphertext batch is tens of MB and the device link is slow,
-        # and large D2H right after long programs has faulted the tunnel.
-        client.verify_ctr_device(out, KEY, IV, offset=last_offset)
-        print("# verified bit-exact vs plaintext AES", file=sys.stderr)
+        t0 = time.time()
+        if args.device_verify:
+            # Measurement-only: decrypt on-device, pull just plaintext bits.
+            client.verify_ctr_device(out, KEY, IV, offset=last_offset)
+        else:
+            # Default: ciphertexts cross to the client in small chunks and
+            # are decrypted on host — the secret key never touches the
+            # accelerator (VERDICT r4 #8; chunked because one large D2H
+            # after a long program has faulted the tunnel).
+            client.fetch_and_verify_ctr(out, KEY, IV, offset=last_offset)
+        print(f"# verified bit-exact vs plaintext AES "
+              f"({'device' if args.device_verify else 'host'} decrypt, "
+              f"{time.time()-t0:.1f}s, outside the metric)", file=sys.stderr)
 
     if args.decrypt:
         # Homomorphic decryption benchmark (server.rs:67-105; the reference
@@ -185,10 +198,16 @@ def main(argv=None) -> int:
               f"(encrypt: {blocks_per_min:.2f})", file=sys.stderr)
         if not args.skip_verify:
             from tfhe_aes_tpu.models import aes_plain
-            bits = client.decrypt_bits_device(back).astype(np.int64)
-            byts = (bits << np.arange(8)).sum(axis=-1)
-            for i in range(nd):
-                got = aes_plain.bytes_be_to_u128([int(b) for b in byts[i]])
+            if args.device_verify:
+                bits = client.decrypt_bits_device(back).astype(np.int64)
+                byts = (bits << np.arange(8)).sum(axis=-1)
+                got_all = [aes_plain.bytes_be_to_u128(
+                    [int(b) for b in byts[i]]) for i in range(nd)]
+            else:
+                arr = np.asarray(jax.device_get(back))
+                got_all = [client.decrypt_state_u128(arr[i])
+                           for i in range(nd)]
+            for i, got in enumerate(got_all):
                 want = (IV + last_offset + i) % (1 << 128)
                 assert got == want, f"decrypt round-trip block {i}"
             print(f"# decrypt round-trip verified ({nd} blocks)",

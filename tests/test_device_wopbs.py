@@ -112,6 +112,18 @@ def test_many_wopbs_chunked_matches_unchunked(ctx):
         wopbs.many_wopbs(dkeys, byte_cts, per_batch, vp_chunk=2))
     assert np.array_equal(full, chunked_pb)
 
+    # RAGGED batch (3 bytes, chunk 2 -> zero-padded to 2x2): the round-5
+    # balanced-chunk policy must slice the pad off bit-exactly, for both
+    # shared and per-batch LUT stacks.
+    full3 = np.asarray(wopbs.many_wopbs(dkeys, byte_cts[:3], lut,
+                                        vp_chunk=4))
+    ragged = np.asarray(wopbs.many_wopbs(dkeys, byte_cts[:3], lut,
+                                         vp_chunk=2))
+    assert np.array_equal(full3, ragged)
+    ragged_pb = np.asarray(
+        wopbs.many_wopbs(dkeys, byte_cts[:3], per_batch[:3], vp_chunk=2))
+    assert np.array_equal(full3, ragged_pb)
+
 
 @pytest.mark.slow
 def test_fast_keygen_pipeline():

@@ -87,17 +87,21 @@ def test_key_expansion_pk_rcon(ctx):
         assert got == want[r], f"round key {r}"
 
 
+@pytest.mark.slow
 def test_ctr_keystream_chunked_matches_fused(ctx):
     """The >block_chunk keystream driver (full-batch ripple + per-chunk AES
     dispatches — the bench path for 64-block batches) must be bit-identical
-    to the single fused ctr_step program."""
+    to the single fused ctr_step program.  n_blocks=3 with block_chunk=2
+    exercises the RAGGED tail (chunks [2, 1+wrap-pad], round-5 chunking
+    policy) as well as the chunk boundary; marked slow per round-4 ADVICE
+    (two full toy CTR keystreams dominate constrained CI runs)."""
     client, dkeys = ctx
     enc_key = jnp.asarray(client.encrypt_u128(KEY))
     enc_iv = jnp.asarray(client.encrypt_u128(IV))
     rks = fhe_aes.aes_key_expansion_jit(dkeys, enc_key)
-    fused = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 4,
-                                             offset=7, block_chunk=4))
-    chunked = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 4,
+    fused = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 3,
+                                             offset=7, block_chunk=3))
+    chunked = np.asarray(fhe_aes.ctr_keystream(dkeys, rks, enc_iv, 3,
                                                offset=7, block_chunk=2))
     assert np.array_equal(fused, chunked)
     client.decrypt_and_verify_ctr(chunked, KEY, IV, offset=7)

@@ -105,8 +105,16 @@ def main(argv=None) -> int:
                     help="client RNG seed (default: OS entropy)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--host-verify", action="store_true",
-                    help="pull ciphertexts to host for verification instead "
-                         "of decrypting on-device (slow over a TPU tunnel)")
+                    help="(default since round 5) decrypt + verify on the "
+                         "client: ciphertexts are pulled to host in small "
+                         "chunks and the secret key never touches the "
+                         "accelerator")
+    ap.add_argument("--device-verify", action="store_true",
+                    help="measurement-only shortcut: decrypt on-device and "
+                         "transfer only plaintext bits.  This SHIPS THE "
+                         "SECRET KEY to the accelerator — it violates the "
+                         "trust boundary the Server facade models and "
+                         "exists because the tunneled-TPU D2H link is slow")
     ap.add_argument("--decrypt", action="store_true",
                     help="also run homomorphic decryption round-trip")
     ap.add_argument("--no-cache", action="store_true",
@@ -116,6 +124,13 @@ def main(argv=None) -> int:
                          "reference (server.rs:139-140) instead of the "
                          "default trivial noise-free encodings; selects "
                          "the 3-WoPBS key-expansion schedule")
+    ap.add_argument("--noise-asserts", action="store_true",
+                    help="debug sanitizer (tfhe-rs noise-asserts parity, "
+                         "Cargo.toml:7): measure the phase error of REAL "
+                         "ciphertexts at every WoPBS input/output against "
+                         "the analytic noise model and fail on violation. "
+                         "Client-side + slow (per-bootstrap host "
+                         "callbacks); test/debug only")
     ap.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                     default="auto",
                     help="force the JAX backend (auto = whatever the "
@@ -158,6 +173,10 @@ def main(argv=None) -> int:
             serialization.save_keys(cache, client.sk, dkeys)
         print(f"[client] keygen + packing took {time.time()-t0:.2f}s")
 
+    if args.noise_asserts:
+        from .utils import noise_asserts
+        noise_asserts.enable(client.sk)
+
     enc_key = client.encrypt_u128(args.key)
     enc_iv = client.encrypt_u128(args.iv)
     # Trust boundary (main.rs:43-45): only eval keys, the public key and
@@ -184,11 +203,10 @@ def main(argv=None) -> int:
           f"{pbs_count / t_ctr:.0f} PBS/s)")
 
     if not args.no_verify:
-        if args.host_verify:
-            got = client.decrypt_and_verify_ctr(np.asarray(ks), args.key,
-                                                args.iv)
-        else:
+        if args.device_verify:
             got = client.verify_ctr_device(ks, args.key, args.iv)
+        else:
+            got = client.fetch_and_verify_ctr(ks, args.key, args.iv)
         print(f"[client] verified {n} blocks bit-exact vs plaintext AES")
         print(f"[client] first block: {got[0]:#034x}")
 
@@ -201,6 +219,13 @@ def main(argv=None) -> int:
         got = client.decrypt_state_u128(np.asarray(back)[0])
         assert got == args.iv % (1 << 128), "decrypt round-trip failed"
         print("[client] homomorphic decryption round-trip verified")
+
+    if args.noise_asserts:
+        from .utils import noise_asserts
+        n_checks = len(noise_asserts.checks())
+        noise_asserts.assert_clean()
+        print(f"[client] noise asserts: {n_checks} checkpoints, "
+              f"all within modeled sigma")
     return 0
 
 

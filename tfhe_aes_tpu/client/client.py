@@ -106,6 +106,28 @@ class Client:
             assert g == w, (f"CTR block {i}: FHE {g:#034x} != plain {w:#034x}")
         return got
 
+    def fetch_and_verify_ctr(self, states_dev, key: int, iv: int,
+                             offset: int = 0, chunk: int = 8) -> list[int]:
+        """DEFAULT verification path: ciphertexts cross to the CLIENT and
+        are decrypted on host — the secret key never leaves the client
+        (the trust boundary the Server facade models; main.rs:70 ->
+        client.rs:147-175).  The device->host transfer runs in <=chunk-
+        block slices because one large D2H after a long program has
+        faulted the tunneled device (bench.py round 3).  verify_ctr_device
+        is the measurement-only shortcut that trades the boundary for
+        transfer volume."""
+        import jax
+        n = states_dev.shape[0]
+        got = []
+        for lo in range(0, n, chunk):
+            arr = np.asarray(jax.device_get(states_dev[lo:lo + chunk]))
+            got += [self.decrypt_state_u128(arr[i])
+                    for i in range(arr.shape[0])]
+        want = aes_plain.ctr_keystream(key, iv + offset, n)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == w, (f"CTR block {i}: FHE {g:#034x} != plain {w:#034x}")
+        return got
+
     # -- device-side decryption (bench / verification convenience) ----------
     def decrypt_bits_device(self, states) -> np.ndarray:
         """Decrypt on the accelerator; transfer only plaintext bits.

@@ -168,7 +168,7 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
         inv_crt_limbs=plan.inv_crt_limbs,
         rfwd_limbs=rplan.fwd_limbs,
         rinv_crt_limbs=rplan.inv_crt_limbs,
-        fwd_full=ntt.fwd_full_for(rplan, p.pbs_base_log),
+        fwd_full=ntt.fwd_cat_for(rplan, p.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
-        rot_table=rplan.rot_table,
+        rot_table=ntt.rot_table_merged(rplan),
     )

@@ -451,8 +451,14 @@ def ctr_keystream(keys: DeviceKeys, round_keys, enc_iv, n_blocks: int,
                                   jnp.asarray(luts_rest))
     from ..ops.wopbs import _chunk_size
     bc = _chunk_size(n_blocks, block_chunk)
-    outs = [aes_encrypt_jit(keys, round_keys, state[i:i + bc])
-            for i in range(0, n_blocks, bc)]
+    outs = []
+    for i in range(0, n_blocks, bc):
+        sl = state[i:i + bc]
+        pad = bc - sl.shape[0]
+        if pad:     # ragged tail: wrap-pad so every chunk reuses the ONE
+            sl = jnp.concatenate([sl, state[:pad]])      # compiled program
+        out = aes_encrypt_jit(keys, round_keys, sl)
+        outs.append(out[:bc - pad] if pad else out)
     return jnp.concatenate(outs, axis=0)
 
 

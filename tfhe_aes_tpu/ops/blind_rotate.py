@@ -145,11 +145,16 @@ def blind_rotate(plan: ntt.NttPlan, params: ParamSet, bsk_limbs: jnp.ndarray,
         else:   # wide digits (e.g. PARAM_TPU's 12-bit base): 2-limb NTT
             dhat = ntt.ntt_fwd_wide(plan, digits, fwd_limbs)
         dl, dh = modular.to_balanced_limbs2(dhat)    # [P, B, R, N] int8
-        g = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
-                                         keepdims=False)   # [P, R*2J, N]
+        g_m = jax.lax.dynamic_index_in_dim(bsk_limbs, i, axis=0,
+                                           keepdims=False)  # [R*2J, P*N]
+        g = jnp.transpose(g_m.reshape(g_m.shape[0], plan.n_primes, n_poly),
+                          (1, 0, 2))                 # [P, R*2J, N]
         prod = ntt.mac_rows(plan, dl, dh, g, kp1)    # [P, B, J, N]
         a_i = tilde[:, i]                            # [B]
-        tw = jnp.take(rot_table, a_i, axis=1)        # [P, B, N] row gather
+        tw_m = jnp.take(rot_table, a_i, axis=0)      # [B, P*N] merged i16
+        tw = jnp.transpose(
+            tw_m.astype(jnp.int32).reshape(-1, plan.n_primes, n_poly),
+            (1, 0, 2))                               # [P, B, N]
         delta_hat = ntt.barrett_rotate_delta(plan, prod, tw, p_c, inv_c)
         delta = ntt.intt_crt_u64(plan, delta_hat, inv_crt_limbs)
         acc = acc + delta                            # intt masked mod 2^q

@@ -48,18 +48,22 @@ class DeviceKeys:
     params: ParamSet = dataclasses.field(metadata=dict(static=True))
     plan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
     rplan: ntt.NttPlan = dataclasses.field(metadata=dict(static=True))
-    bsk_limbs: jax.Array | np.ndarray     # int8  [n, Pr, R*2(k+1), N] limb rows
+    bsk_limbs: jax.Array | np.ndarray     # int8  [n_pad, R*2(k+1), Pr*N]
+                                          #       prime-MERGED limb row
+                                          #       planes, step-padded
+                                          #       (bsk_residues_to_device)
     ksk_limbs: jax.Array | np.ndarray     # int8  [big*ks_lev, (n+1)*8]
     pfpksk_limbs: jax.Array | np.ndarray  # int8  [(big+1)*pfks_lev, (k+1)^2*N*8]
     fwd_limbs: jax.Array | np.ndarray     # int8  [P, 2, 2, N, N]   (64-domain)
     inv_crt_limbs: jax.Array | np.ndarray # int8  [P, 2, 2, N, N]   (64-domain)
     rfwd_limbs: jax.Array | np.ndarray    # int8  [Pr, 2, 2, N, N]  (rotate)
     rinv_crt_limbs: jax.Array | np.ndarray# int8  [Pr, 2, 2, N, N]  (rotate)
-    fwd_full: jax.Array | np.ndarray      # int8  [Pr, N, 2N] digit-NTT mats
-                                          #       ([Pr, 2N, 2N] for wide
-                                          #       digits, pbs_base_log > 8)
+    fwd_full: jax.Array | np.ndarray      # int8  [dn, 2*Pr*N] prime-merged
+                                          #       digit-NTT matrix (dn = N,
+                                          #       or 2N for wide digits;
+                                          #       ntt.fwd_cat_for)
     inv_crt_full: jax.Array | np.ndarray  # int8  [Pr, 2N, 2N] block INTT mats
-    rot_table: jax.Array | np.ndarray     # int32 [Pr, 2N, N] twiddle powers
+    rot_table: jax.Array | np.ndarray     # int16 [2N, Pr*N] merged twiddles
 
 
 def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray,
@@ -153,13 +157,22 @@ def pack_bsk(params: ParamSet, rplan: ntt.NttPlan, bsk_u64: np.ndarray,
     return np.ascontiguousarray(out)
 
 
-def bsk_residues_to_device(res16: np.ndarray) -> np.ndarray:
-    """[n, P, R, k+1, N] int16 residues -> [n, P, R*2(k+1), N] int8 limbs.
+# Step granularity of the fused blind-rotate kernel's grid: the staged BSK
+# is zero-padded to a multiple of this so every kernel invocation covers a
+# full chunk (a zero GGSW row makes the padded steps exact no-ops).
+BSK_STEP_PAD = 16
 
-    Row r*2(k+1) + j holds output-component j's lo limb for j < k+1 and
-    component (j - (k+1))'s hi limb otherwise — the exact row order the
-    blind-rotate MAC consumes (Pallas kernel and ntt.mac_rows alike), so the
-    per-step key slice needs zero reshuffling on device.
+
+def bsk_residues_to_device(res16: np.ndarray) -> np.ndarray:
+    """[n, P, R, k+1, N] int16 residues -> [n_pad, R*2(k+1), P*N] int8 limbs.
+
+    PRIME-MERGED row planes: row r*2(k+1) + j holds output-component j's lo
+    limb for j < k+1 (hi limb at j + k+1), with the P primes' residues side
+    by side on the lane axis (segment k at k*N..(k+1)*N) — the layout the
+    merged-plane blind-rotate kernel consumes directly, one [1, P*N] row
+    broadcast per MAC term.  The step axis is zero-padded to a multiple of
+    BSK_STEP_PAD (padded steps are exact no-ops: a zero GGSW row yields a
+    zero delta).
     """
     n_lwe, pcount, r_rows, kp1, n = res16.shape
     # int16-native limb split (same values as modular.host_balanced_limbs2,
@@ -170,8 +183,21 @@ def bsk_residues_to_device(res16: np.ndarray) -> np.ndarray:
     hi8 = ((x + np.int16(128)) >> np.int16(8)).astype(np.int8)
     lo8 = (x - (hi8.astype(np.int16) << np.int16(8))).astype(np.int8)
     cat = np.concatenate([lo8, hi8], axis=3)           # [n,P,R,2(k+1),N]
-    return np.ascontiguousarray(
-        cat.reshape(n_lwe, pcount, r_rows * 2 * kp1, n))
+    rows = cat.reshape(n_lwe, pcount, r_rows * 2 * kp1, n)
+    merged = np.ascontiguousarray(rows.transpose(0, 2, 1, 3)).reshape(
+        n_lwe, r_rows * 2 * kp1, pcount * n)
+    return pad_bsk_steps(merged)
+
+
+def pad_bsk_steps(merged: np.ndarray) -> np.ndarray:
+    """Zero-pad the merged BSK's step axis to a multiple of BSK_STEP_PAD."""
+    n_lwe = merged.shape[0]
+    n_pad = -(-n_lwe // BSK_STEP_PAD) * BSK_STEP_PAD
+    if n_pad == n_lwe:
+        return merged
+    out = np.zeros((n_pad,) + merged.shape[1:], merged.dtype)
+    out[:n_lwe] = merged
+    return out
 
 
 def pack_ksk(params: ParamSet, ksk_u64: np.ndarray) -> np.ndarray:
@@ -239,7 +265,7 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         inv_crt_limbs=plan.inv_crt_limbs,
         rfwd_limbs=rplan.fwd_limbs,
         rinv_crt_limbs=rplan.inv_crt_limbs,
-        fwd_full=ntt.fwd_full_for(rplan, p.pbs_base_log),
+        fwd_full=ntt.fwd_cat_for(rplan, p.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
-        rot_table=rplan.rot_table,
+        rot_table=ntt.rot_table_merged(rplan),
     )

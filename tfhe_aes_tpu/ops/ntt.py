@@ -381,6 +381,38 @@ def fwd_full_wide_host(plan: NttPlan) -> np.ndarray:
     return np.ascontiguousarray(np.stack(outs))
 
 
+@functools.lru_cache(maxsize=None)
+def fwd_cat_for(plan: NttPlan, pbs_base_log: int) -> np.ndarray:
+    """Prime-MERGED forward digit-NTT matrix [dn, 2*P*N] int8.
+
+    Column layout: cols [0, P*N) are the LO output limbs (prime-segmented,
+    segment k at k*N..(k+1)*N), cols [P*N, 2*P*N) the HI limbs — so the
+    fused kernel's single dot produces the whole merged-plane residue pair
+    with two STATIC aligned slices (no per-prime copy-out).  Input rows are
+    the gadget digits (prime-independent, which is why one dot serves all
+    primes): dn = N for int8 digits, 2N limb planes for wide digits
+    (fwd_full_wide_host row layout)."""
+    per = fwd_full_for(plan, pbs_base_log)               # [P, dn, 2N]
+    n = plan.n
+    lo = np.concatenate([per[k, :, :n] for k in range(plan.n_primes)], axis=1)
+    hi = np.concatenate([per[k, :, n:] for k in range(plan.n_primes)], axis=1)
+    return np.ascontiguousarray(np.concatenate([lo, hi], axis=1))
+
+
+@functools.lru_cache(maxsize=None)
+def rot_table_merged(plan: NttPlan) -> np.ndarray:
+    """Prime-merged twiddle table [2N, P*N] int16 (balanced |.| < 2^15.5).
+
+    Row a = the rotation-by-X^a twiddles for ALL primes side by side
+    (segment k at lanes k*N..(k+1)*N) — one XLA row-gather per blind-rotate
+    step yields the whole merged plane; int16 halves its HBM traffic."""
+    t = plan.rot_table                                   # [P, 2N, N] int32
+    merged = np.ascontiguousarray(t.transpose(1, 0, 2).reshape(
+        t.shape[1], -1))
+    assert np.abs(merged).max() < (1 << 15)
+    return merged.astype(np.int16)
+
+
 def mac_rows(plan: NttPlan, dl: jnp.ndarray, dh: jnp.ndarray,
              g_rows: jnp.ndarray, j_out: int) -> jnp.ndarray:
     """NTT-domain external-product MAC against row-major key limbs.

@@ -55,12 +55,17 @@ def _stage_and_pack(keys: DeviceKeys, bigs: jnp.ndarray, Bb: int, nbits: int,
 
 
 def _chunk_size(b: int, target: int) -> int:
+    """Balanced chunk size <= target: ceil(b / ceil(b/target)).
+
+    Callers pad the batch up to a chunk multiple (waste < one chunk)
+    instead of requiring an exact divisor — the old divisor rule collapsed
+    to chunk 1 on sizes with no small divisor (a prime byte count meant B
+    sequential one-element dispatches; round-4 ADVICE/VERDICT #7).
+    """
     if b <= target:
         return b
-    for c in range(target, 0, -1):
-        if b % c == 0:
-            return c
-    return b
+    nc = -(-b // target)
+    return -(-b // nc)
 
 
 def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
@@ -84,17 +89,39 @@ def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
     (many_wopbs.rs:121-157) always fits for the same reason: it sizes the
     hot loop's scratch independently of how many inputs are queued.
     """
+    from ..utils import noise_asserts
+    if noise_asserts.enabled():     # live sanitizer (utils/noise_asserts):
+        # the <=max_noise_level-additions invariant, checked on the REAL
+        # ciphertexts entering this bootstrap (noise-asserts parity,
+        # Cargo.toml:7)
+        noise_asserts.check_big_lwe("wopbs_input", byte_bits_big, "input")
     B, nbits = byte_bits_big.shape[0], byte_bits_big.shape[1]
+
+    def _check_out(out):
+        if noise_asserts.enabled():     # fresh-output sigma check
+            noise_asserts.check_big_lwe("wopbs_output", out, "fresh")
+        return out
+
     small = extract_bits(keys, byte_bits_big)
     flat = small.reshape(B * nbits, -1)
     bigs = cbs_mod.cbs_pbs_levels(keys, flat)   # [lev, B*nbits, big+1]
 
     bc = _chunk_size(B, vp_chunk)
     if bc == B:
-        return _stage_and_pack(keys, bigs, B, nbits, lut_polys_u64)
-    nc = B // bc
+        return _check_out(_stage_and_pack(keys, bigs, B, nbits,
+                                          lut_polys_u64))
+    nc = -(-B // bc)
+    bpad = nc * bc
     lev = bigs.shape[0]
     np1 = bigs.shape[-1]
+    if bpad != B:                               # ragged tail: zero-pad
+        bigs = jnp.pad(bigs.reshape(lev, B, nbits, np1),
+                       ((0, 0), (0, bpad - B), (0, 0), (0, 0))
+                       ).reshape(lev, bpad * nbits, np1)
+        if lut_polys_u64.shape[0] != 1:
+            lut_polys_u64 = jnp.pad(
+                lut_polys_u64,
+                ((0, bpad - B),) + ((0, 0),) * (lut_polys_u64.ndim - 1))
     bigs_c = bigs.reshape(lev, nc, bc * nbits, np1).swapaxes(0, 1)
     if lut_polys_u64.shape[0] == 1:             # batch-shared LUT stack
         out = jax.lax.map(
@@ -105,7 +132,7 @@ def many_wopbs(keys: DeviceKeys, byte_bits_big: jnp.ndarray,
         out = jax.lax.map(
             lambda xs: _stage_and_pack(keys, xs[0], bc, nbits, xs[1]),
             (bigs_c, luts_c))
-    return out.reshape((B,) + out.shape[2:])
+    return _check_out(out.reshape((bpad,) + out.shape[2:])[:B])
 
 
 # Jitted entry point: compiled once per (key shapes, batch, LUT stack) and
