@@ -436,10 +436,18 @@ def ctr_keystream(keys: DeviceKeys, round_keys, enc_iv, n_blocks: int,
     Larger batches run the ripple-carry counter add ONCE at the full batch
     (its 16 sequential small WoPBS are latency-bound and amortize with B —
     the whole point of big batches) and then dispatch the AES rounds in
-    <=block_chunk-block chunks, all reusing ONE compiled aes_encrypt
-    program; a single fused dispatch beyond ~32 blocks faults the attached
-    device (round-4 bisect: add_scalar@64 and aes_encrypt@32 each pass
-    standalone, any one program combining them does not).
+    balanced <=block_chunk chunks (ragged tail wrap-padded), all reusing
+    ONE compiled aes_encrypt program.
+
+    Why chunk at all — the real limit is TIME, not size (root-caused in
+    round 5, scripts/repro_batch_fault.py): the tunneled device kills any
+    single XLA execution running beyond ~75 s.  aes_encrypt@32 (~35 s)
+    passes; aes_encrypt@64 faults at ~75 s; and the SAME 32-block program
+    forced slow (tb=8) faults at ~77 s while its fast builds pass — with
+    identical compiled memory profiles (peak 6.1 GiB of 16 GiB HBM, so the
+    round-3/4 "batch ceiling" was never memory).  block_chunk=32 keeps a
+    chunk's runtime near half the ceiling; raise it only with a faster
+    kernel, keeping expected chunk time <~60 s.
     """
     i_bytes = counter_bytes(n_blocks, offset)
     lut_lsb, luts_rest = add_scalar_luts(keys.params, i_bytes)
