@@ -143,6 +143,32 @@ def test_pallas_cache_survives_retrace(ctx, monkeypatch):
         assert torus.torus_close(ph, bits << U64(60), 54)
 
 
+def test_pallas_vp_matches_xla(ctx, monkeypatch):
+    """The fused vertical-packing kernel (ops/pallas_vp.py) must be
+    bit-identical to the XLA CMux rotation loop through a REAL WoPBS
+    (extract -> CBS -> VP of the S-box LUT), including the tree->kernel
+    hand-off at toy N=128 (tree_bits=1, 7 fused rotations)."""
+    from tfhe_aes_tpu.models import luts, tables
+    from tfhe_aes_tpu.ops import wopbs
+    client, dkeys = ctx
+    p = client.params
+    sbox = tables.sbox()
+    lut = jnp.asarray(luts.lut_polys_from_tables(p, sbox[None], 8))
+    byte_cts = jnp.asarray(np.stack(
+        [client.encrypt_byte(b) for b in (0x5A, 0x01, 0xFF)]))
+
+    monkeypatch.setenv("TFHE_AES_TPU_BLIND_ROTATE", "xla")
+    want = np.asarray(wopbs.many_wopbs(dkeys, byte_cts, lut))
+    monkeypatch.setenv("TFHE_AES_TPU_BLIND_ROTATE", "interpret")
+    got = np.asarray(wopbs.many_wopbs(dkeys, byte_cts, lut))
+    np.testing.assert_array_equal(got, want)
+    # and it decrypts right
+    for bi, b in enumerate((0x5A, 0x01, 0xFF)):
+        val = sum(int(client.decrypt_bits(got[bi, ob])) << ob
+                  for ob in range(8))
+        assert val == int(sbox[b])
+
+
 def test_pallas_pbs_decrypts(ctx, monkeypatch):
     """pbs_boolean through the interpreted Pallas kernel decrypts right."""
     monkeypatch.setenv("TFHE_AES_TPU_BLIND_ROTATE", "interpret")

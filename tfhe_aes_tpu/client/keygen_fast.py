@@ -171,4 +171,6 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
         fwd_full=ntt.fwd_cat_for(rplan, p.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
         rot_table=ntt.rot_table_merged(rplan),
+        vp_fwd3=ntt.fwd_cat3_host(plan),
+        vp_inv_full=ntt.inv_crt_full_host(plan),
     )

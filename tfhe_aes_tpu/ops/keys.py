@@ -64,6 +64,10 @@ class DeviceKeys:
                                           #       ntt.fwd_cat_for)
     inv_crt_full: jax.Array | np.ndarray  # int8  [Pr, 2N, 2N] block INTT mats
     rot_table: jax.Array | np.ndarray     # int16 [2N, Pr*N] merged twiddles
+    vp_fwd3: jax.Array | np.ndarray       # int8  [3N, 2*P*N] 64-domain
+                                          #       digit-NTT (ntt.fwd_cat3)
+    vp_inv_full: jax.Array | np.ndarray   # int8  [P, 2N, 2N] 64-domain
+                                          #       block INTT mats
 
 
 def poly_to_ntt_residues_host(primes, polys_u64: np.ndarray,
@@ -268,4 +272,6 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         fwd_full=ntt.fwd_cat_for(rplan, p.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
         rot_table=ntt.rot_table_merged(rplan),
+        vp_fwd3=ntt.fwd_cat3_host(plan),
+        vp_inv_full=ntt.inv_crt_full_host(plan),
     )

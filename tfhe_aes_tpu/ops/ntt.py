@@ -400,6 +400,34 @@ def fwd_cat_for(plan: NttPlan, pbs_base_log: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def fwd_cat3_host(plan: NttPlan) -> np.ndarray:
+    """Prime-merged forward-NTT matrix [3N, 2*P*N] int8 for 15-bit digits.
+
+    Input rows are THREE base-2^5 digit limbs (|limb| <= 16; scales 1, 32,
+    1024 folded into the row blocks), columns as fwd_cat_for (lo output
+    limbs of all primes, then hi).  Used by the fused vertical-packing
+    kernel (ops/pallas_vp.py) whose CBS digits are base-2^15
+    (cbs_base_log = 15 > the 12-bit ceiling of the 2-limb path).
+    Bound: the dot contracts 3N rows of |limb| <= 16 against int8 matrix
+    limbs: each output plane <= 3N*16*128 = 2^21.6, lo + 256*hi < 2^30 —
+    int32-safe with the single-barrett recombine."""
+    n = plan.n
+    los, his = [], []
+    for k, p in enumerate(plan.primes):
+        fwd, _ = crt.ntt_matrices(p, n)
+        rows_lo, rows_hi = [], []
+        for scale in (1, 32, 1024):
+            bal = modular.host_balanced((fwd * scale) % p, p)
+            lo, hi = np.moveaxis(modular.host_balanced_limbs2(bal), -1, 0)
+            rows_lo.append(lo)
+            rows_hi.append(hi)
+        los.append(np.concatenate(rows_lo, axis=0))      # [3N, N]
+        his.append(np.concatenate(rows_hi, axis=0))
+    return np.ascontiguousarray(
+        np.concatenate(los + his, axis=1))               # [3N, 2PN]
+
+
+@functools.lru_cache(maxsize=None)
 def rot_table_merged(plan: NttPlan) -> np.ndarray:
     """Prime-merged twiddle table [2N, P*N] int16 (balanced |.| < 2^15.5).
 

@@ -138,5 +138,7 @@ def load_keys(path: pathlib.Path) -> tuple[SecretKeys, DeviceKeys]:
         fwd_full=ntt.fwd_cat_for(rplan, params.pbs_base_log),
         inv_crt_full=ntt.inv_crt_full_host(rplan),
         rot_table=ntt.rot_table_merged(rplan),
+        vp_fwd3=ntt.fwd_cat3_host(plan),
+        vp_inv_full=ntt.inv_crt_full_host(plan),
     )
     return sk, dkeys
