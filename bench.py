@@ -77,8 +77,18 @@ def main(argv=None) -> int:
     print(f"# device: {dev}, params: {params.name}, blocks: {args.blocks}",
           file=sys.stderr)
 
+    # Cold-start overlap (VERDICT r4 #3): AOT-compile the production
+    # programs from shapes alone, in background threads, while keygen runs.
+    # The real calls below hit the persistent compilation cache the AOT
+    # compiles seeded (same process, identical HLO).
+    from tfhe_aes_tpu.utils import warmup
+    warm: dict = {}
+    t0w = time.time()
+    wth = warmup.precompile(params, args.blocks, report=warm)
+
     cache = serialization.cache_path(params, 0)
     t0 = time.time()
+    save_th = None
     if cache.exists():
         sk, dkeys = serialization.load_keys(cache)
         client = Client(params, seed=0)
@@ -86,9 +96,18 @@ def main(argv=None) -> int:
     else:
         client = Client(params, seed=0)
         dkeys = client.make_device_keys()
-        serialization.save_keys(cache, client.sk, dkeys)
+        # Save in the background (atomic tmp+rename): the D2H pull for the
+        # npz must not sit between keygen and the first real dispatch.
+        import threading as _threading
+        save_th = _threading.Thread(
+            target=serialization.save_keys,
+            args=(cache, client.sk, dkeys), daemon=True)
+        save_th.start()
     dkeys = jax.device_put(dkeys)   # stage eval keys in HBM once
     print(f"# keys ready in {time.time()-t0:.1f}s", file=sys.stderr)
+    wth.join()
+    print(f"# AOT compile warm-up (overlapped with keygen): {warm} "
+          f"joined at {time.time()-t0w:.1f}s", file=sys.stderr)
 
     KEY = 0x2B7E151628AED2A6ABF7158809CF4F3C
     IV = 0x00112233445566778899AABBCCDDEEFF
@@ -162,6 +181,10 @@ def main(argv=None) -> int:
         "value": round(blocks_per_min, 3),
         "unit": "blocks/min",
         "vs_baseline": round(blocks_per_min / BASELINE_BLOCKS_PER_MIN, 2),
+        # Self-describing run conditions (round-4 ADVICE): which parameter
+        # set produced the number, so recorded BENCH_r*.json stand alone.
+        "params": params.name,
+        "blocks": B,
     }))
     sys.stdout.flush()
 
@@ -213,6 +236,8 @@ def main(argv=None) -> int:
             print(f"# decrypt round-trip verified ({nd} blocks)",
                   file=sys.stderr)
 
+    if save_th is not None:
+        save_th.join()              # finish the atomic key-cache write
     return 0
 
 

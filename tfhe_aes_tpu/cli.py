@@ -158,6 +158,15 @@ def main(argv=None) -> int:
           f"(n={params.lwe_dimension}, k={params.glwe_dimension}, "
           f"N={params.polynomial_size})")
 
+    # AOT compile warm-up: the production programs compile from shapes
+    # alone in background threads, overlapping keygen (utils/warmup.py;
+    # the reference binary starts computing immediately, main.rs:48-51 —
+    # this hides most of the XLA/Mosaic cold start behind key material).
+    from .utils import warmup
+    warm_report: dict = {}
+    warm_thread = warmup.precompile(params, args.number_of_outputs,
+                                    report=warm_report)
+
     cache = serialization.cache_path(params, args.seed)
     t0 = time.time()
     if not args.no_cache and args.seed is not None and cache.exists():
@@ -183,6 +192,10 @@ def main(argv=None) -> int:
     # encrypted inputs cross to the server; pk-RCON happens server-side.
     server = Server(dkeys,
                     client.make_public_key() if args.pk_rcon else None)
+
+    warm_thread.join()
+    if warm_report:
+        print(f"[server] compile warm-up (overlapped): {warm_report}")
 
     import jax.numpy as jnp
     t0 = time.time()

@@ -27,9 +27,19 @@ from ..ops import ntt
 U64 = np.uint64
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _make_mask_dot(plan: ntt.NttPlan):
     """Returns jitted fn: (a [M, k, N] u64, shat [P,k,1,N]) -> [M, N] u64
-    computing sum_i a_i * S_i exactly mod 2^64."""
+    computing sum_i a_i * S_i exactly mod 2^64.
+
+    Cached per plan (plans are identity-stable via make_plan's cache): BSK
+    and PFPKSK generation share ONE compiled program instead of compiling
+    an identical mask-dot each — rebuilding it per call was ~40% of cold
+    keygen (round-5 cold-start study, PERF.md).
+    """
 
     def f(a_u64, shat, fwd_limbs, inv_crt_limbs):
         res = ntt.u64_to_residues(plan, a_u64)          # [P, M, k, N]
@@ -66,8 +76,16 @@ def glwe_encrypt_fast(plan: ntt.NttPlan, glwe_key: np.ndarray,
     b = msgs2 + e
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
-        conv = np.asarray(dot(jnp.asarray(a[lo:hi]), shat, fwd, inv_crt))
-        b[lo:hi] += conv
+        am = a[lo:hi]
+        if hi - lo < chunk and m > chunk:
+            # Zero-pad the ragged tail to the full chunk shape: one compiled
+            # program for every dispatch (a tail-sized recompile cost ~10 s
+            # of cold keygen; the wasted rows are < one chunk of compute).
+            am = np.concatenate(
+                [am, np.zeros((chunk - (hi - lo),) + am.shape[1:],
+                              np.uint64)])
+        conv = np.asarray(dot(jnp.asarray(am), shat, fwd, inv_crt))
+        b[lo:hi] += conv[:hi - lo]
     out = np.concatenate([a, b[:, None, :]], axis=1)      # [m, k+1, n]
     return out.reshape(lead + (k + 1, n))
 
@@ -113,22 +131,47 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
     """Device-accelerated equivalent of keys.make_device_keys."""
     p = sk.params
     plan = ntt.make_plan(p.polynomial_size, primes or crt.ntt_primes())
-    rplan = keys_mod.make_rotate_plan(p)
 
+    # Eager async uploads: the tunneled device's H2D is ~20 MB/s effective
+    # (round-5 cold-start study), so the ~1 GB of packed key material is
+    # ~50 s of transfer — device_put each component the moment it exists
+    # so the uploads ride under the remaining keygen CPU work instead of
+    # stalling the first real dispatch.
     bsk = bsk_gen_fast(sk, rng, plan)
     ksk = nb.ksk_gen(sk, rng)          # LWE-level: already cheap on host
+    ksk_dev = jax.device_put(keys_mod.pack_ksk(p, ksk))
     pfp = pfpksk_gen_fast(sk, rng, plan)
+    pfp_dev = jax.device_put(keys_mod.pack_pfpksk(p, pfp))
+    return pack_device_keys(p, sk.glwe_key, bsk, ksk, pfp, plan,
+                            ksk_packed=ksk_dev, pfp_packed=pfp_dev)
 
-    # BSK NTT staging on device, preserving pack_bsk's layout and values:
-    # cancel mask rounding errors into the bodies (host, exact f64 convs),
-    # round to the rotate domain's q' bits, take balanced residues of the
-    # scaled-back value, unscale by (2^(64-q'))^-1 mod p (== host
-    # poly_to_ntt_residues_host's shift trick), forward NTT.
-    n_lwe, lev, kp1, _, n = bsk.shape
-    rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, kp1, n)
-    rows = keys_mod.cancel_mask_rounding(rows, sk.glwe_key, rplan.q_bits)
-    rows = rows.reshape(-1, n)
-    rfwd = jnp.asarray(rplan.fwd_limbs)
+
+def zero_device_keys(params: ParamSet) -> keys_mod.DeviceKeys:
+    """Shape-faithful all-zero evaluation keys.
+
+    For compile warm-up only (bench/cli cold start): every leaf has the
+    exact shape/dtype real keys have, so jitting the pipeline on these
+    populates the compilation caches for the production programs while
+    real keygen still runs.  Decrypting anything evaluated under them is
+    meaningless by construction.
+    """
+    p = params
+    k, n = p.glwe_dimension, p.polynomial_size
+    plan = ntt.make_plan(p.polynomial_size, crt.ntt_primes())
+    bsk = np.zeros((p.lwe_dimension, p.pbs_level, k + 1, k + 1, n), U64)
+    ksk = np.zeros((p.big_lwe_dimension, p.ks_level, p.lwe_dimension + 1),
+                   U64)
+    pfp = np.zeros((k + 1, p.big_lwe_dimension + 1, p.pfks_level, k + 1, n),
+                   U64)
+    return pack_device_keys(p, np.zeros((k, n), U64), bsk, ksk, pfp, plan)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stage(rplan: ntt.NttPlan):
+    """Jitted BSK NTT-staging program, one compile per rotate plan.
+
+    Cached so warm-up packing (zero_device_keys) and real keygen share the
+    compile; rplan is identity-stable via make_rotate_plan's cache."""
     q = rplan.q_bits
     from ..ops import modular
     inv2s = np.stack([modular.host_balanced(
@@ -138,7 +181,7 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
     ip_c = rplan.inv_f32.reshape(-1, 1, 1)
 
     @jax.jit
-    def stage(x):
+    def stage(x, rfwd):
         if q < 64:
             x = (x + (jnp.uint64(1) << jnp.uint64(63 - q))) \
                 >> jnp.uint64(64 - q)
@@ -150,20 +193,59 @@ def make_device_keys_fast(sk: nb.SecretKeys, rng: np.random.Generator,
                 jnp.asarray(p_c), jnp.asarray(ip_c))
         return ntt.ntt_fwd_residues(rplan, res, rfwd).astype(jnp.int16)
 
+    return stage
+
+
+def pack_device_keys(p: ParamSet, glwe_key: np.ndarray, bsk: np.ndarray,
+                     ksk: np.ndarray, pfp: np.ndarray,
+                     plan: ntt.NttPlan, *,
+                     ksk_packed=None, pfp_packed=None) -> keys_mod.DeviceKeys:
+    """Stage host keys into device layouts (shared by real and zero keys).
+
+    ksk_packed/pfp_packed: already-packed (possibly device-resident)
+    overrides so callers can start those uploads early (see
+    make_device_keys_fast) without packing twice."""
+    rplan = keys_mod.make_rotate_plan(p)
+
+    # BSK NTT staging on device, preserving pack_bsk's layout and values:
+    # cancel mask rounding errors into the bodies (host, exact f64 convs),
+    # round to the rotate domain's q' bits, take balanced residues of the
+    # scaled-back value, unscale by (2^(64-q'))^-1 mod p (== host
+    # poly_to_ntt_residues_host's shift trick), forward NTT.
+    n_lwe, lev, kp1, _, n = bsk.shape
+    rows = bsk.transpose(0, 2, 1, 3, 4).reshape(-1, kp1, n)
+    rows = keys_mod.cancel_mask_rounding(rows, glwe_key, rplan.q_bits)
+    rows = rows.reshape(-1, n)
+    rfwd = jnp.asarray(rplan.fwd_limbs)
+    stage_fn = _make_stage(rplan)
+
+    def stage(x):
+        return stage_fn(x, rfwd)
+
     outs = []
     chunk = 16384
-    for lo in range(0, rows.shape[0], chunk):
-        outs.append(np.asarray(stage(jnp.asarray(rows[lo:lo + chunk]))))
-    res = np.concatenate(outs, axis=1)                  # [P, M, N]
+    nrows = rows.shape[0]
+    for lo in range(0, nrows, chunk):
+        rm = rows[lo:lo + chunk]
+        if rm.shape[0] < chunk and nrows > chunk:
+            # pad the ragged tail: one compiled staging program (cold start)
+            rm = np.concatenate(
+                [rm, np.zeros((chunk - rm.shape[0], rm.shape[1]),
+                              rm.dtype)])
+        outs.append(np.asarray(stage(jnp.asarray(rm))))
+    res = np.concatenate(outs, axis=1)[:, :nrows]       # [P, M, N]
     bsk_ntt = np.ascontiguousarray(
         res.reshape(rplan.n_primes, n_lwe, kp1 * lev, kp1, n)
         .transpose(1, 0, 2, 3, 4).astype(np.int16))
 
+    bsk_dev = jax.device_put(keys_mod.bsk_residues_to_device(bsk_ntt))
     return keys_mod.DeviceKeys(
         params=p, plan=plan, rplan=rplan,
-        bsk_limbs=keys_mod.bsk_residues_to_device(bsk_ntt),
-        ksk_limbs=keys_mod.pack_ksk(p, ksk),
-        pfpksk_limbs=keys_mod.pack_pfpksk(p, pfp),
+        bsk_limbs=bsk_dev,
+        ksk_limbs=(ksk_packed if ksk_packed is not None
+                   else keys_mod.pack_ksk(p, ksk)),
+        pfpksk_limbs=(pfp_packed if pfp_packed is not None
+                      else keys_mod.pack_pfpksk(p, pfp)),
         fwd_limbs=plan.fwd_limbs,
         inv_crt_limbs=plan.inv_crt_limbs,
         rfwd_limbs=rplan.fwd_limbs,

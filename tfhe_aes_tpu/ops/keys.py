@@ -275,3 +275,43 @@ def make_device_keys(sk: nb.SecretKeys, rng: np.random.Generator,
         vp_fwd3=ntt.fwd_cat3_host(plan),
         vp_inv_full=ntt.inv_crt_full_host(plan),
     )
+
+
+def device_keys_shapes(params: ParamSet) -> DeviceKeys:
+    """DeviceKeys with ShapeDtypeStruct KEY leaves and real constant tables.
+
+    For ahead-of-time compile warm-up (utils/warmup.py): jit.lower() only
+    needs avals for the key material, and the plan-derived tables (NTT
+    matrices, twiddles) are key-independent and cheap, so the production
+    programs can be compiled before a single key bit exists — overlapping
+    the cold-start compiles with key generation (VERDICT r4 #3).  The
+    lowered HLO is identical to the real call's (every leaf is a traced
+    argument, never a baked constant), so the jit/persistent caches hit.
+    """
+    import jax.numpy as jnp
+    p = params
+    plan = ntt.make_plan(p.polynomial_size, crt.ntt_primes())
+    rplan = make_rotate_plan(p)
+    k, n = p.glwe_dimension, p.polynomial_size
+    kp1 = k + 1
+    r_rows = kp1 * p.pbs_level
+    n_pad = -(-p.lwe_dimension // BSK_STEP_PAD) * BSK_STEP_PAD
+    sds = jax.ShapeDtypeStruct
+    return DeviceKeys(
+        params=p, plan=plan, rplan=rplan,
+        bsk_limbs=sds((n_pad, r_rows * 2 * kp1, rplan.n_primes * n),
+                      jnp.int8),
+        ksk_limbs=sds((p.big_lwe_dimension * p.ks_level,
+                       (p.lwe_dimension + 1) * 8), jnp.int8),
+        pfpksk_limbs=sds(((p.big_lwe_dimension + 1) * p.pfks_level,
+                          kp1 * kp1 * n * 8), jnp.int8),
+        fwd_limbs=plan.fwd_limbs,
+        inv_crt_limbs=plan.inv_crt_limbs,
+        rfwd_limbs=rplan.fwd_limbs,
+        rinv_crt_limbs=rplan.inv_crt_limbs,
+        fwd_full=ntt.fwd_cat_for(rplan, p.pbs_base_log),
+        inv_crt_full=ntt.inv_crt_full_host(rplan),
+        rot_table=ntt.rot_table_merged(rplan),
+        vp_fwd3=ntt.fwd_cat3_host(plan),
+        vp_inv_full=ntt.inv_crt_full_host(plan),
+    )

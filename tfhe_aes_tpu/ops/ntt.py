@@ -103,9 +103,26 @@ def _host_rot_table(primes, n: int) -> np.ndarray:
     return np.stack(out).astype(np.int32)
 
 
-@functools.lru_cache(maxsize=None)
+_plan_lock = __import__("threading").Lock()
+
+
 def make_plan(n: int, primes: tuple[int, ...] | None = None,
               q_bits: int = 64) -> NttPlan:
+    """Identity-stable plan constructor (cached).
+
+    The lock matters: plans hash by IDENTITY as jit static fields, so two
+    threads racing the cache miss (e.g. the AOT compile warm-up vs keygen,
+    utils/warmup.py) would each get a distinct plan object and every
+    program would silently recompile — exactly the cold-start cost the
+    warm-up exists to hide (round-5 root cause).
+    """
+    with _plan_lock:
+        return _make_plan(n, primes, q_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_plan(n: int, primes: tuple[int, ...] | None = None,
+               q_bits: int = 64) -> NttPlan:
     primes = primes or crt.ntt_primes()
     cst = crt.crt_constants(tuple(primes), q_bits)
     pow2 = np.stack([

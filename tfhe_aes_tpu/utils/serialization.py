@@ -57,8 +57,12 @@ def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys, *,
         bsk_fields = dict(bsk_ntt=_bsk_limbs_to_residues(dkeys))
     else:
         bsk_fields = dict(bsk_limbs=np.asarray(dkeys.bsk_limbs))
+    # Atomic write (tmp + rename): callers may save from a background
+    # thread (bench overlaps the save with key expansion); an interrupted
+    # write must never leave a corrupt cache for the next process.
+    tmp = path.parent / (path.name + ".tmp.npz")
     np.savez(
-        path,
+        tmp,
         params_name=np.array(sk.params.name),
         primes=np.array(dkeys.plan.primes, dtype=np.int64),
         rprimes=np.array(dkeys.rplan.primes, dtype=np.int64),
@@ -69,6 +73,8 @@ def save_keys(path: pathlib.Path, sk: SecretKeys, dkeys: DeviceKeys, *,
         pfpksk_limbs=np.asarray(dkeys.pfpksk_limbs),
         **bsk_fields,
     )
+    import os
+    os.replace(tmp, path)
 
 
 def _bsk_limbs_to_residues(dkeys: DeviceKeys) -> np.ndarray:
