@@ -59,12 +59,13 @@ def worker(args) -> None:
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from tfhe_aes_tpu.params import PARAM_TOY, PARAM_OPT
+    from tfhe_aes_tpu.params import PARAM_TOY, PARAM_TOY_N512, PARAM_OPT, PARAM_TPU
     from tfhe_aes_tpu.client.client import Client
     from tfhe_aes_tpu.models import aes_plain, fhe_aes
     from tfhe_aes_tpu.parallel import mesh as mesh_mod
 
-    params = {"toy": PARAM_TOY, "prod": PARAM_OPT}.get(args.params) \
+    params = {"toy": PARAM_TOY, "toy512": PARAM_TOY_N512,
+              "prod": PARAM_OPT, "tpu": PARAM_TPU}.get(args.params) \
         or tiny_params()
     n_mp = args.mp
     devs = jax.devices()
@@ -82,7 +83,7 @@ def worker(args) -> None:
     import dataclasses
     client = Client(params, seed=args.seed)
     cache = serialization.cache_path(params, args.seed)
-    if args.params == "prod" and cache.exists():
+    if args.params in ("prod", "tpu") and cache.exists():
         # Production keygen is minutes-scale; every process loads the same
         # cached key material (still the replicate-everywhere strategy).
         client.sk, raw = serialization.load_keys(cache)
@@ -129,6 +130,20 @@ def worker(args) -> None:
     print(f"# proc {args.process_id}: keys staged, compiling...",
           file=sys.stderr, flush=True)
     fn = mesh_mod.sharded_ctr_fn(mesh, dkeys, B)
+    # Compile BEFORE any collective execution, then rendezvous through the
+    # coordination service (KV barrier, no gloo): compile-time skew across
+    # hosts otherwise parks the fast host inside gloo context init, whose
+    # peer-address GetKeyValue times out at 30 s while the slow host is
+    # still compiling (observed round 5: 2/3 quiet-box runs failed this
+    # way).  On real pods the same discipline avoids burning the collective
+    # timeout budget on compilation skew.
+    fn.lower(rks, enc_iv, lut_lsb, luts_rest).compile()
+    from jax._src import distributed
+    if distributed.global_state.client is not None:
+        # coordination-service barrier, NOT a device collective — it must
+        # work precisely when gloo is not up yet
+        distributed.global_state.client.wait_at_barrier(
+            "tfhe_aes_tpu_multihost_compiled", 600_000)
     out = jax.block_until_ready(fn(rks, enc_iv, lut_lsb, luts_rest))  # warm
     print(f"# proc {args.process_id}: warm", file=sys.stderr, flush=True)
     t0 = time.time()
@@ -234,7 +249,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--blocks", type=int, default=32)
-    ap.add_argument("--params", choices=["dryrun", "toy", "prod"],
+    ap.add_argument("--params",
+                    choices=["dryrun", "toy", "toy512", "prod", "tpu"],
                     default="dryrun")
     ap.add_argument("--mp", type=int, default=1)
     ap.add_argument("--devices-per-proc", type=int, default=4)
